@@ -1,0 +1,20 @@
+"""Test configuration: force CPU with 8 virtual devices so sharding/pjit
+logic is exercised without TPU hardware (SURVEY.md §4 implication: multi-host
+logic tested on a CPU mesh).
+
+NOTE: this environment's sitecustomize pins JAX_PLATFORMS=axon (TPU tunnel),
+so the env var alone is not enough — we must override via jax.config after
+import. XLA_FLAGS must still be set before the CPU backend initializes.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

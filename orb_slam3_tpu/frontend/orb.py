@@ -1,0 +1,227 @@
+"""Oriented FAST + rotated BRIEF descriptors, full-pyramid extraction.
+
+Batched XLA reimplementation of `ORBextractor::operator()`
+(`/root/reference/src/ORBextractor.cc:1086-1195`): per-level FAST with
+dual-threshold fallback and spatial selection, IC_Angle intensity-centroid
+orientation (`:76-105`), 7x7 sigma=2 blur, and the 256-pair steered BRIEF
+(`computeOrbDescriptor:107-148`). The sampling pattern is the standard
+learned ORB pattern (assets/orb_pattern.npy — public constant shared with
+OpenCV; required for descriptor/vocabulary compatibility).
+
+All per-keypoint work (orientation moments, 256 comparisons) happens on
+gathered fixed-size patches: [N, 41, 41] tensors that vmap cleanly — no
+scalar loops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import fast as fast_mod
+from . import pyramid as pyr_mod
+from . import select as select_mod
+
+HALF_PATCH = 15  # IC_Angle radius (ORBextractor.cc:57 HALF_PATCH_SIZE)
+PATCH = 41      # gathered patch size (center 20; covers rotated BRIEF ±19)
+PR = PATCH // 2
+
+_pattern = np.load(
+    os.path.join(os.path.dirname(__file__), "assets", "orb_pattern.npy")
+).astype(np.float32)  # [256, 4] = x1, y1, x2, y2
+PATTERN_A = jnp.asarray(_pattern[:, 0:2])  # [256, 2] (x, y)
+PATTERN_B = jnp.asarray(_pattern[:, 2:4])
+
+
+def _umax_table():
+    """Circular-patch row extents, built exactly like the ORBextractor ctor."""
+    hp = HALF_PATCH
+    umax = np.zeros(hp + 2, dtype=np.int32)
+    vmax = int(np.floor(hp * np.sqrt(2.0) / 2 + 1))
+    vmin = int(np.ceil(hp * np.sqrt(2.0) / 2))
+    for v in range(vmax + 1):
+        umax[v] = int(round(np.sqrt(hp * hp - v * v)))
+    v0 = 0
+    for v in range(hp, vmin - 1, -1):
+        while umax[v0] == umax[v0 + 1]:
+            v0 += 1
+        umax[v] = v0
+        v0 += 1
+    return umax[: hp + 1]
+
+
+_UMAX = _umax_table()
+
+
+def _ic_angle_mask_and_coords():
+    """Precompute (mask [31,31], u [31,31], v [31,31]) for IC_Angle."""
+    us, vs = np.meshgrid(
+        np.arange(-HALF_PATCH, HALF_PATCH + 1),
+        np.arange(-HALF_PATCH, HALF_PATCH + 1),
+    )
+    mask = np.abs(us) <= _UMAX[np.abs(vs)]
+    return (
+        jnp.asarray(mask, jnp.float32),
+        jnp.asarray(us, jnp.float32),
+        jnp.asarray(vs, jnp.float32),
+    )
+
+
+_IC_MASK, _IC_U, _IC_V = _ic_angle_mask_and_coords()
+
+
+def gather_patches(img, xy_int):
+    """img [H, W], integer keypoint coords [N, 2] (x, y) -> [N, 41, 41].
+    Coordinates are clamped; callers mask invalid keypoints downstream."""
+    h, w = img.shape
+    padded = jnp.pad(img, PR, mode="edge")
+
+    def one(p):
+        x = jnp.clip(p[0], 0, w - 1)
+        y = jnp.clip(p[1], 0, h - 1)
+        return jax.lax.dynamic_slice(padded, (y, x), (PATCH, PATCH))
+
+    return jax.vmap(one)(xy_int)
+
+
+def ic_angle(patches):
+    """Intensity-centroid angle in radians for [N, 41, 41] raw-image patches
+    (IC_Angle, ORBextractor.cc:76-105)."""
+    c = PR
+    sub = patches[:, c - HALF_PATCH : c + HALF_PATCH + 1,
+                  c - HALF_PATCH : c + HALF_PATCH + 1]
+    m10 = jnp.sum(sub * _IC_MASK * _IC_U, axis=(1, 2))
+    m01 = jnp.sum(sub * _IC_MASK * _IC_V, axis=(1, 2))
+    return jnp.arctan2(m01, m10)
+
+
+def brief_descriptors(blur_patches, angles):
+    """Steered BRIEF: [N, 41, 41] blurred patches + [N] angles -> [N, 32] uint8.
+
+    Sample-coordinate rotation follows computeOrbDescriptor
+    (ORBextractor.cc:107-148): row = round(x sin + y cos), col = round(x cos - y sin).
+    """
+    a = jnp.cos(angles)[:, None]  # [N, 1]
+    b = jnp.sin(angles)[:, None]
+
+    def rot(P):
+        px, py = P[None, :, 0], P[None, :, 1]  # [1, 256]
+        col = jnp.round(px * a - py * b).astype(jnp.int32) + PR
+        row = jnp.round(px * b + py * a).astype(jnp.int32) + PR
+        return row, col  # each [N, 256]
+
+    ra, ca = rot(PATTERN_A)
+    rb, cb = rot(PATTERN_B)
+
+    n = blur_patches.shape[0]
+    batch_ix = jnp.arange(n)[:, None]
+    va = blur_patches[batch_ix, ra, ca]  # [N, 256]
+    vb = blur_patches[batch_ix, rb, cb]
+    bits = (va < vb).astype(jnp.uint8)  # [N, 256]
+    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+    return jnp.sum(bits.reshape(n, 32, 8) * weights[None, None, :], axis=-1).astype(
+        jnp.uint8
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class OrbConfig:
+    n_features: int = 1000
+    n_levels: int = 8
+    scale_factor: float = 1.2
+    ini_th_fast: float = 20.0
+    min_th_fast: float = 7.0
+    cell: int = 35
+    border: int = 19  # EDGE_THRESHOLD (ORBextractor.cc:73)
+
+    def features_per_level(self):
+        """Geometric feature budget per level (ORBextractor ctor :409-430)."""
+        factor = 1.0 / self.scale_factor
+        n_first = self.n_features * (1 - factor) / (1 - factor ** self.n_levels)
+        per = []
+        total = 0
+        for lvl in range(self.n_levels - 1):
+            k = int(round(n_first * factor ** lvl))
+            per.append(k)
+            total += k
+        per.append(max(self.n_features - total, 0))
+        return per
+
+
+@dataclasses.dataclass
+class Features:
+    """Fixed-capacity keypoint set in level-0 pixel coordinates."""
+
+    xy: jnp.ndarray        # [N, 2] float32 (x, y) at level-0 scale
+    response: jnp.ndarray  # [N]
+    angle: jnp.ndarray     # [N] radians
+    octave: jnp.ndarray    # [N] int32
+    descriptors: jnp.ndarray  # [N, 32] uint8
+    valid: jnp.ndarray     # [N] bool
+
+
+jax.tree_util.register_dataclass(
+    Features, data_fields=["xy", "response", "angle", "octave", "descriptors", "valid"],
+    meta_fields=[],
+)
+
+
+def extract_level(img, n_max: int, cfg: OrbConfig):
+    """Single-level extraction: detect + select + orient + describe.
+    Returns per-level (xy, response, angle, desc, valid) in level coords."""
+    resp = fast_mod.detect(
+        img, cfg.ini_th_fast, cfg.min_th_fast, cell=cfg.cell, border=cfg.border
+    )
+    xy, score, valid = select_mod.select_keypoints(resp, n_max, cell=cfg.cell)
+    xy_int = xy.astype(jnp.int32)
+    raw_patches = gather_patches(img, xy_int)
+    angles = ic_angle(raw_patches)
+    blurred = pyr_mod.gaussian_blur(img)
+    blur_patches = gather_patches(blurred, xy_int)
+    desc = brief_descriptors(blur_patches, angles)
+    return xy, score, angles, desc, valid
+
+
+def extract(img, cfg: OrbConfig = OrbConfig()):
+    """Full-pyramid ORB extraction: [H, W] uint8/float -> Features.
+
+    The returned arrays have static size sum(features_per_level) ==
+    cfg.n_features (padded with valid=False), coordinates scaled to level 0
+    like the reference (`ORBextractor.cc:1152-1161`).
+    """
+    img = img.astype(jnp.float32)
+    levels = pyr_mod.build_pyramid(img, cfg.n_levels, cfg.scale_factor)
+    budgets = cfg.features_per_level()
+
+    parts = []
+    for lvl, (lv_img, n_lvl) in enumerate(zip(levels, budgets)):
+        if n_lvl == 0:
+            continue
+        xy, score, ang, desc, valid = extract_level(lv_img, n_lvl, cfg)
+        scale = cfg.scale_factor ** lvl
+        parts.append(
+            (
+                xy * scale,
+                score,
+                ang,
+                jnp.full((n_lvl,), lvl, jnp.int32),
+                desc,
+                valid,
+            )
+        )
+
+    xy = jnp.concatenate([p[0] for p in parts])
+    return Features(
+        xy=xy,
+        response=jnp.concatenate([p[1] for p in parts]),
+        angle=jnp.concatenate([p[2] for p in parts]),
+        octave=jnp.concatenate([p[3] for p in parts]),
+        descriptors=jnp.concatenate([p[4] for p in parts]),
+        valid=jnp.concatenate([p[5] for p in parts]),
+    )

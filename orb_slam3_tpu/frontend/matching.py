@@ -1,0 +1,144 @@
+"""Descriptor matching as batched masked Hamming-distance ops.
+
+Replaces the 8 search routines of `ORBmatcher`
+(`/root/reference/src/ORBmatcher.cc`) with dense masked formulations: the
+full [N, M] popcount(XOR) distance matrix (a few MB at SLAM sizes) gated by
+geometric windows / octave / view-angle masks, then per-row argmin plus the
+reference's acceptance machinery — TH_LOW/TH_HIGH gates, best/second-best
+ratio test, and the 30-bin rotation-consistency histogram (`ORBmatcher.cc:35-37`,
+`ComputeThreeMaxima:2044`).
+
+A Pallas bitwise-matmul kernel can later replace `hamming_matrix`'s XLA
+formulation; the contract stays fixed here.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+TH_LOW = 50
+TH_HIGH = 100
+HISTO_BINS = 30
+BIG = jnp.int32(100000)
+
+
+def hamming_matrix(da, db):
+    """[N, 32] uint8 x [M, 32] uint8 -> [N, M] int32 Hamming distances."""
+    x = jnp.bitwise_xor(da[:, None, :], db[None, :, :])
+    return jnp.sum(
+        jax.lax.population_count(x).astype(jnp.int32), axis=-1
+    )
+
+
+def masked_best_match(dist, mask, max_dist=TH_LOW, ratio=None):
+    """Per-row best match under mask.
+
+    dist [N, M] int32, mask [N, M] bool. Returns (idx [N], best_dist [N],
+    ok [N]). ratio: if set, best < ratio * second_best required
+    (`ORBmatcher.cc` mfNNratio checks).
+    """
+    d = jnp.where(mask, dist, BIG)
+    idx = jnp.argmin(d, axis=1)
+    best = jnp.take_along_axis(d, idx[:, None], axis=1)[:, 0]
+    ok = best <= max_dist
+    if ratio is not None:
+        d2 = d.at[jnp.arange(d.shape[0]), idx].set(BIG)
+        second = jnp.min(d2, axis=1)
+        ok = jnp.logical_and(
+            ok, best.astype(jnp.float32) < ratio * second.astype(jnp.float32)
+        )
+    return idx, best, ok
+
+
+def mutual_filter(idx_ab, ok_ab, idx_ba):
+    """Keep only matches where b's best is a (cross-check)."""
+    back = idx_ba[idx_ab]
+    return jnp.logical_and(ok_ab, back == jnp.arange(idx_ab.shape[0]))
+
+
+def rotation_consistency(angles_a, angles_b, idx, ok, keep_bins: int = 3):
+    """30-bin rotation histogram filter (ComputeThreeMaxima,
+    `/root/reference/src/ORBmatcher.cc:2044-2076`): keep matches whose
+    angle difference falls in the `keep_bins` most populated bins."""
+    rot = (angles_a - angles_b[idx]) * (180.0 / jnp.pi)
+    rot = jnp.where(rot < 0, rot + 360.0, rot)
+    binw = 360.0 / HISTO_BINS
+    bins = jnp.clip((rot / binw).astype(jnp.int32), 0, HISTO_BINS - 1)
+    hist = jnp.zeros(HISTO_BINS, jnp.int32).at[bins].add(ok.astype(jnp.int32))
+    top_vals, top_idx = jax.lax.top_k(hist, keep_bins)
+    # reference drops bins 2/3 if much smaller than max (<0.1x)
+    keep = top_vals.astype(jnp.float32) > 0.1 * top_vals[0].astype(jnp.float32)
+    keep = keep.at[0].set(True)
+    allowed = jnp.zeros(HISTO_BINS, bool).at[top_idx].set(keep)
+    return jnp.logical_and(ok, allowed[bins])
+
+
+def window_mask(uv_pred, kp_xy, radius, valid_pred=None, valid_kp=None):
+    """[N, 2] predicted positions vs [M, 2] keypoints -> [N, M] bool
+    (the grid lookup `Frame::GetFeaturesInArea` becomes a dense window test)."""
+    d = jnp.abs(uv_pred[:, None, :] - kp_xy[None, :, :])
+    if jnp.ndim(radius) == 0:
+        m = jnp.all(d <= radius, axis=-1)
+    else:
+        m = jnp.all(d <= radius[:, None, None], axis=-1)
+    if valid_pred is not None:
+        m = jnp.logical_and(m, valid_pred[:, None])
+    if valid_kp is not None:
+        m = jnp.logical_and(m, valid_kp[None, :])
+    return m
+
+
+def octave_mask(oct_pred, oct_kp, lo=0, hi=0):
+    """[N] predicted octaves vs [M] keypoint octaves: allow kp octave in
+    [oct_pred + lo, oct_pred + hi] (the per-routine level gates)."""
+    o = oct_kp[None, :]
+    p = oct_pred[:, None]
+    return jnp.logical_and(o >= p + lo, o <= p + hi)
+
+
+def search_by_projection(uv_pred, pred_octave, pred_desc, pred_valid,
+                         kp_xy, kp_octave, kp_desc, kp_valid,
+                         radius_px, scale_factors,
+                         max_dist=TH_HIGH, ratio=0.9,
+                         level_lo=-1, level_hi=1):
+    """Projection-windowed search (SearchByProjection family,
+    `/root/reference/src/ORBmatcher.cc:43-222,1676-1887`).
+
+    uv_pred/pred_*: projected map points [N, ...]; kp_*: frame keypoints
+    [M, ...]. radius_px is scaled by the predicted octave's scale factor like
+    the reference (th * mvScaleFactors[nPredictedLevel]).
+    Returns (idx [N], dist [N], ok [N]).
+    """
+    radius = radius_px * scale_factors[jnp.clip(pred_octave, 0, scale_factors.shape[0] - 1)]
+    m = window_mask(uv_pred, kp_xy, radius, pred_valid, kp_valid)
+    m = jnp.logical_and(m, octave_mask(pred_octave, kp_octave, level_lo, level_hi))
+    dist = hamming_matrix(pred_desc, kp_desc)
+    return masked_best_match(dist, m, max_dist=max_dist, ratio=ratio)
+
+
+def search_for_initialization(xy0, desc0, valid0, xy1, desc1, valid1,
+                              window=100.0, ratio=0.9, max_dist=TH_LOW):
+    """Mono-init wide-window matching (SearchForInitialization,
+    `/root/reference/src/ORBmatcher.cc:648-763`) with mutual cross-check.
+    Returns (idx [N0], ok [N0])."""
+    m = window_mask(xy0, xy1, window, valid0, valid1)
+    dist = hamming_matrix(desc0, desc1)
+    idx01, d01, ok01 = masked_best_match(dist, m, max_dist=max_dist, ratio=ratio)
+    idx10, _, _ = masked_best_match(dist.T, m.T, max_dist=max_dist)
+    ok = mutual_filter(idx01, ok01, idx10)
+    return idx01, ok
+
+
+def search_by_brute_force(desc_a, valid_a, desc_b, valid_b,
+                          ratio=0.75, max_dist=TH_LOW):
+    """Unconstrained descriptor matching with ratio + cross-check (the role
+    BoW-node-gated SearchByBoW plays for KF-KF association; the node gate is
+    an optimization, not a semantic: candidates outside the window are
+    rejected by distance/ratio anyway)."""
+    m = jnp.logical_and(valid_a[:, None], valid_b[None, :])
+    dist = hamming_matrix(desc_a, desc_b)
+    idx_ab, d_ab, ok_ab = masked_best_match(dist, m, max_dist=max_dist, ratio=ratio)
+    idx_ba, _, _ = masked_best_match(dist.T, m.T, max_dist=max_dist)
+    ok = mutual_filter(idx_ab, ok_ab, idx_ba)
+    return idx_ab, d_ab, ok

@@ -1,0 +1,140 @@
+"""Jitted tracking-step kernels: pose optimization and local-map tracking.
+
+These are the hot per-frame computations of `Tracking::Track()`
+(`/root/reference/src/Tracking.cc:1794-2332`), reformulated as fixed-shape
+jitted functions. The host-side state machine lives in `tracker.py`.
+
+- `pose_optimize`: motion-only BA — 1 SE3 vertex, mono unary edges, 4 rounds
+  x 10 LM iterations with chi2-gated outlier reclassification between rounds
+  (Optimizer::PoseOptimization, `/root/reference/src/Optimizer.cc:814-1113`:
+  rounds at chi2 5.991, kernel dropped after round 2).
+- `track_local_map_step`: frustum-cull + project the local-map snapshot,
+  windowed descriptor search, then pose_optimize
+  (Tracking::TrackLocalMap / SearchLocalPoints, `Tracking.cc:2949-3061,3343`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..frontend import camera as cam
+from ..frontend import matching
+from ..ops import lie, robust
+
+
+def _project_points(kind, K, R, t, X):
+    Xc = lie.se3_apply(R, t, X)
+    return cam.project(kind, K, Xc), Xc[..., 2]
+
+
+@partial(jax.jit, static_argnames=("kind", "rounds", "iters"))
+def pose_optimize(kind: int, K, R0, t0, uv, Xw, inv_sigma2, valid,
+                  rounds: int = 4, iters: int = 10):
+    """Motion-only BA with staged outlier gating.
+
+    R0/t0: initial Tcw. uv [N,2] observations of world points Xw [N,3];
+    inv_sigma2 [N] per-octave information; valid [N].
+    Returns (R, t, inlier_mask [N], n_inliers).
+    """
+    delta = jnp.sqrt(robust.CHI2_2DOF)
+
+    def chi2_of(R, t, mask):
+        pred, z = _project_points(kind, K, R, t, Xw)
+        r = uv - pred
+        c2 = jnp.sum(r * r, axis=-1) * inv_sigma2
+        return jnp.where(z > 0, c2, 1e9), r
+
+    def gn_round(carry, round_i):
+        R, t, mask = carry
+        use_huber = round_i < 2  # kernel dropped for rounds 3/4 (Optimizer.cc:999)
+
+        def gn_iter(carry2, _):
+            R, t, lam = carry2
+
+            def residual_flat(dxi):
+                Rn, tn = lie.se3_lplus(R, t, dxi)
+                pred, z = _project_points(kind, K, Rn, tn, Xw)
+                return (uv - pred).reshape(-1)
+
+            r, J = residual_flat(jnp.zeros(6)), jax.jacfwd(residual_flat)(jnp.zeros(6))
+            r2 = r.reshape(-1, 2)
+            c2 = jnp.sum(r2 * r2, axis=-1) * inv_sigma2
+            w_rob = jnp.where(
+                use_huber, robust.huber_weight(c2, delta), jnp.ones_like(c2)
+            )
+            w = w_rob * inv_sigma2 * mask
+            wJ = J.reshape(-1, 2, 6) * w[:, None, None]
+            H = jnp.einsum("nri,nrj->ij", J.reshape(-1, 2, 6), wJ)
+            g = jnp.einsum("nri,nr->i", wJ, r2)
+            dxi = jnp.linalg.solve(H + lam * jnp.eye(6), -g)
+            ok = jnp.all(jnp.isfinite(dxi))
+            dxi = jnp.where(ok, dxi, 0.0)
+            Rn, tn = lie.se3_lplus(R, t, dxi)
+            # accept if cost decreased
+            c_old = jnp.sum(jnp.minimum(c2, 5.991) * mask)
+            pred2, _ = _project_points(kind, K, Rn, tn, Xw)
+            rn = uv - pred2
+            c2n = jnp.sum(rn * rn, axis=-1) * inv_sigma2
+            c_new = jnp.sum(jnp.minimum(c2n, 5.991) * mask)
+            accept = c_new < c_old
+            R2 = jnp.where(accept, Rn, R)
+            t2 = jnp.where(accept, tn, t)
+            lam2 = jnp.where(accept, lam * 0.5, lam * 4.0)
+            return (R2, t2, lam2), None
+
+        (R, t, _), _ = jax.lax.scan(gn_iter, (R, t, jnp.asarray(1e-3)), None, length=iters)
+        # reclassify
+        c2, _ = chi2_of(R, t, mask)
+        mask_new = jnp.where(c2 < robust.CHI2_2DOF, valid.astype(jnp.float32), 0.0)
+        return (R, t, mask_new), None
+
+    mask0 = valid.astype(jnp.float32)
+    (R, t, mask), _ = jax.lax.scan(
+        gn_round, (R0, t0, mask0), jnp.arange(rounds)
+    )
+    return R, t, mask > 0, jnp.sum(mask > 0)
+
+
+@partial(jax.jit, static_argnames=("kind",))
+def match_local_map(kind: int, K, R, t, lm_pos, lm_desc, lm_valid,
+                    lm_max_dist, lm_min_dist, lm_normal,
+                    kp_xy, kp_desc, kp_octave, kp_valid,
+                    radius_px, scale_factors,
+                    view_cos_th: float = 0.5,
+                    img_wh=(640.0, 480.0)):
+    """SearchLocalPoints: frustum cull (Frame::isInFrustum, Frame.cc:512) +
+    projection-window descriptor search. Returns per-landmark (kp index,
+    ok, uv_pred) and per-landmark visibility mask."""
+    uv_pred, z = _project_points(kind, K, R, t, lm_pos)
+    Ow = -R.T @ t
+    d_vec = lm_pos - Ow
+    dist = jnp.linalg.norm(d_vec, axis=-1)
+    in_depth = (z > 0.0) & (dist >= 0.8 * lm_min_dist) & (dist <= 1.2 * lm_max_dist)
+    in_img = (
+        (uv_pred[:, 0] >= 0) & (uv_pred[:, 0] < img_wh[0])
+        & (uv_pred[:, 1] >= 0) & (uv_pred[:, 1] < img_wh[1])
+    )
+    vcos = jnp.sum(d_vec * lm_normal, axis=-1) / jnp.maximum(
+        dist * jnp.linalg.norm(lm_normal, axis=-1), 1e-9
+    )
+    has_normal = jnp.linalg.norm(lm_normal, axis=-1) > 1e-6
+    view_ok = jnp.where(has_normal, vcos > view_cos_th, True)
+    visible = lm_valid & in_depth & in_img & view_ok
+
+    # predicted octave from distance
+    ratio = jnp.maximum(lm_max_dist, 1e-9) / jnp.maximum(dist, 1e-9)
+    n_levels = scale_factors.shape[0]
+    pred_oct = jnp.clip(
+        jnp.ceil(jnp.log(ratio) / jnp.log(1.2)).astype(jnp.int32), 0, n_levels - 1
+    )
+
+    idx, d, ok = matching.search_by_projection(
+        uv_pred, pred_oct, lm_desc, visible,
+        kp_xy, kp_octave, kp_desc, kp_valid,
+        radius_px, scale_factors,
+        max_dist=matching.TH_HIGH, ratio=0.8, level_lo=-1, level_hi=1,
+    )
+    return idx, ok, visible, uv_pred

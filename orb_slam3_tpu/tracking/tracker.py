@@ -1,0 +1,408 @@
+"""Monocular tracking state machine (host orchestrator).
+
+The role of `Tracking::Track()`'s state machine plus the LocalMapping
+pipeline driver (`/root/reference/src/Tracking.cc:1794-2332`,
+`LocalMapping.cc:64-282`) — but as an explicit single-host loop calling
+fixed-shape jitted stages (SURVEY.md §7.1: snapshots instead of threads +
+locks; the bounded-staleness mapping/tracking dataflow collapses to
+sequential stage calls in round 1).
+
+States mirror `Tracking.h:121-129`: NOT_INITIALIZED -> OK -> RECENTLY_LOST
+-> LOST (new map in the Atlas).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..atlas import ops as atlas_ops
+from ..atlas import state as atlas_state
+from ..frontend import camera as cam
+from ..frontend import matching, orb, two_view
+from ..mapping import fuse, local_mapper
+from ..ops import lie
+from . import track as track_mod
+
+NOT_INITIALIZED = 0
+OK = 1
+RECENTLY_LOST = 2
+LOST = 3
+
+
+@dataclasses.dataclass
+class TrackerConfig:
+    K: jnp.ndarray = None  # camera params [8]
+    kind: int = cam.PINHOLE
+    img_wh: tuple = (640, 480)
+    orb: orb.OrbConfig = dataclasses.field(default_factory=lambda: orb.OrbConfig())
+    init_min_matches: int = 80      # Tracking.cc:2492 (100 in ref)
+    min_inliers: int = 15           # accept thresholds Tracking.cc:3030-3061
+    kf_min_frames: int = 0
+    kf_max_frames: int = 5          # c1a (fps-dependent in ref)
+    kf_tracked_ratio: float = 0.8   # c2 thRefRatio (0.9 mono, Tracking.cc:3155)
+    local_window: int = 8
+    kmax: int = 128
+    lmax: int = 8192
+    match_radius_coarse: float = 15.0  # TrackWithMotionModel th (Tracking.cc:2879)
+    match_radius_fine: float = 4.0
+
+
+@dataclasses.dataclass
+class FrameRecord:
+    """Per-frame pose stored RELATIVE to its reference keyframe
+    (T_cur<-refkf), like the reference's trajectory bookkeeping
+    (mlRelativeFramePoses + mlpReferences, Tracking.cc:2300-2320), so the
+    exported trajectory picks up later BA/loop corrections of the KF poses
+    (System::SaveTrajectoryEuRoC, System.cc:662)."""
+
+    timestamp: float
+    ref_kf: int
+    R_rel: np.ndarray
+    t_rel: np.ndarray
+    ok: bool
+
+
+class Tracker:
+    def __init__(self, cfg: TrackerConfig):
+        self.cfg = cfg
+        self.map = atlas_state.empty(
+            kmax=cfg.kmax, fmax=cfg.orb.n_features, lmax=cfg.lmax
+        )
+        self.state = NOT_INITIALIZED
+        self.scale_factors = jnp.asarray(
+            [cfg.orb.scale_factor ** i for i in range(cfg.orb.n_levels)], jnp.float32
+        )
+        self.init_ref = None          # (features, timestamp)
+        self.last = None              # dict: R, t, feats, ts
+        self.velocity = None          # (Rv, tv): T_cur<-last
+        self.last_kf_row = -1
+        self.last_kf_inliers = 0
+        self.last_inliers = 0
+        self.frames_since_kf = 0
+        self.trajectory: list[FrameRecord] = []
+        self.lost_count = 0
+        self._extract = jax.jit(lambda im: orb.extract(im, cfg.orb))
+
+    # ------------------------------------------------------------------
+    def process(self, img, timestamp: float):
+        feats = self._extract(jnp.asarray(img, jnp.float32))
+        if self.state == NOT_INITIALIZED:
+            ok = self._try_initialize(feats, timestamp)
+        else:
+            ok = self._track_frame(feats, timestamp)
+        self._record_frame(timestamp, ok)
+
+    def _record_frame(self, timestamp, ok):
+        if self.last is None or self.last_kf_row < 0:
+            self.trajectory.append(
+                FrameRecord(timestamp, -1, np.eye(3), np.zeros(3), False)
+            )
+            return
+        s = self.map
+        kf = self.last_kf_row
+        R_kf_inv, t_kf_inv = lie.se3_inv(s.kf_R[kf], s.kf_t[kf])
+        R_rel, t_rel = lie.se3_mul(self.last["R"], self.last["t"], R_kf_inv, t_kf_inv)
+        self.trajectory.append(
+            FrameRecord(timestamp, kf, np.array(R_rel), np.array(t_rel), bool(ok))
+        )
+
+    # ------------------------------------------------------------------
+    # initialization (MonocularInitialization, Tracking.cc:2448-2525)
+    # ------------------------------------------------------------------
+    def _try_initialize(self, feats, timestamp) -> bool:
+        cfg = self.cfg
+        n_kp = int(feats.valid.sum())
+        if self.init_ref is None:
+            if n_kp > 100:
+                self.init_ref = (feats, timestamp)
+            return False
+        ref_feats, ref_ts = self.init_ref
+        idx, ok = matching.search_for_initialization(
+            ref_feats.xy, ref_feats.descriptors, ref_feats.valid,
+            feats.xy, feats.descriptors, feats.valid,
+            window=100.0, ratio=0.9,
+        )
+        n_match = int(ok.sum())
+        if n_match < cfg.init_min_matches:
+            self.init_ref = (feats, timestamp) if n_kp > 100 else None
+            return False
+
+        res = two_view.reconstruct(
+            jax.random.PRNGKey(len(self.trajectory)),
+            ref_feats.xy, feats.xy[idx], ok, cfg.K,
+            min_triangulated=50,
+        )
+        if not bool(res["success"]):
+            return False
+
+        good = np.array(res["good"])
+        X = np.array(res["X"])
+        R, t = np.array(res["R"]), np.array(res["t"])
+
+        # median-depth normalization (CreateInitialMapMonocular:2582-2599)
+        med = float(np.median(X[good][:, 2]))
+        if med <= 0:
+            return False
+        X = X / med
+        t = t / med
+
+        s = self.map
+        s, kf0 = atlas_ops.add_keyframe(
+            s, jnp.eye(3), jnp.zeros(3), ref_ts,
+            ref_feats.xy, ref_feats.octave, ref_feats.angle,
+            ref_feats.descriptors, ref_feats.valid,
+        )
+        s, kf1 = atlas_ops.add_keyframe(
+            s, jnp.asarray(R), jnp.asarray(t), timestamp,
+            feats.xy, feats.octave, feats.angle, feats.descriptors, feats.valid,
+            parent=kf0,
+        )
+        # new landmarks bound to ref-frame features; then observe from kf1
+        accept = jnp.asarray(good) & ok
+        s, rows = atlas_ops.add_landmarks(
+            s, jnp.asarray(X), ref_feats.descriptors,
+            jnp.full((X.shape[0],), int(kf0), jnp.int32), accept,
+            jnp.full((X.shape[0],), int(kf0), jnp.int32),
+            jnp.arange(X.shape[0], dtype=jnp.int32),
+        )
+        s = atlas_ops.add_observations(s, kf1, idx, rows, accept & (rows >= 0))
+
+        # initial global BA (20 iters, Tracking.cc:2580), then median-depth
+        # renormalization (the reference normalizes after GBA, :2582-2599)
+        window_rows = jnp.asarray(
+            [int(kf0), int(kf1)] + [int(kf1)] * (cfg.local_window - 2), jnp.int32
+        )
+        s, _ = local_mapper.local_ba(
+            cfg.kind, cfg.K, s, window_rows, n_fixed=1,
+            window=cfg.local_window, iters=20,
+            scale_factors=self.scale_factors,
+        )
+        active_lm = np.array(s.lm_valid)
+        z0 = np.array(s.lm_pos)[active_lm][:, 2]
+        med2 = float(np.median(z0[z0 > 0])) if (z0 > 0).any() else 1.0
+        if med2 > 0:
+            inv = 1.0 / med2
+            s = dataclasses.replace(
+                s,
+                lm_pos=jnp.where(s.lm_valid[:, None], s.lm_pos * inv, s.lm_pos),
+                kf_t=jnp.where(s.kf_valid[:, None], s.kf_t * inv, s.kf_t),
+            )
+        s = atlas_state.update_landmark_stats(s)
+        self.map = s
+        self.state = OK
+        self.last = {
+            "R": s.kf_R[kf1], "t": s.kf_t[kf1], "feats": feats, "ts": timestamp,
+        }
+        self.velocity = None
+        self.last_kf_row = int(kf1)
+        self.last_kf_inliers = int(accept.sum())
+        self.frames_since_kf = 0
+        self.init_ref = None
+        return True
+
+    # ------------------------------------------------------------------
+    # per-frame tracking (TrackWithMotionModel + TrackLocalMap)
+    # ------------------------------------------------------------------
+    def _track_frame(self, feats, timestamp) -> bool:
+        cfg = self.cfg
+        s = self.map
+
+        # pose prediction by motion model (Tracking.cc:2862-2877)
+        R_last, t_last = self.last["R"], self.last["t"]
+        if self.velocity is not None:
+            Rv, tv = self.velocity
+            R_pred, t_pred = lie.se3_mul(Rv, tv, R_last, t_last)
+        else:
+            R_pred, t_pred = R_last, t_last
+
+        in_map = s.lm_valid & (s.lm_map_id == s.active_map)
+
+        # stage 1: coarse matching at predicted pose, wide radius
+        R1, t1, inl1, n1 = self._match_and_optimize(
+            s, feats, R_pred, t_pred, in_map, cfg.match_radius_coarse
+        )
+        # fallback: a poisoned motion model (e.g. planar-ambiguity pose flip)
+        # makes the prediction much worse than the last pose — retry from the
+        # last pose with a doubled window (the reference's widen-x2 retry,
+        # Tracking.cc:2892-2897, plus its TrackReferenceKeyFrame fallback)
+        if self.velocity is not None and int(n1) < max(
+            cfg.min_inliers * 2, 0.5 * self.last_inliers
+        ):
+            R1b, t1b, inl1b, n1b = self._match_and_optimize(
+                s, feats, R_last, t_last, in_map, 2.0 * cfg.match_radius_coarse
+            )
+            if int(n1b) > int(n1):
+                R1, t1, n1 = R1b, t1b, n1b
+                self.velocity = None
+        # stage 2: fine matching at refined pose
+        R2, t2, inl2, n2 = self._match_and_optimize(
+            s, feats, R1, t1, in_map, cfg.match_radius_fine,
+            update_stats=True,
+        )
+        n_inliers = int(n2)
+        self.last_inliers = n_inliers
+
+        if n_inliers < cfg.min_inliers:
+            self.lost_count += 1
+            self.state = RECENTLY_LOST if self.lost_count < 5 else LOST
+            # keep prediction as pose estimate
+            self.last = {"R": R_pred, "t": t_pred, "feats": feats, "ts": timestamp}
+            self.velocity = None
+            return False
+        self.lost_count = 0
+        self.state = OK
+
+        # motion model: velocity = T_cur * T_last^{-1} (Tracking.cc:2207)
+        Rl_inv, tl_inv = lie.se3_inv(R_last, t_last)
+        self.velocity = lie.se3_mul(R2, t2, Rl_inv, tl_inv)
+        self.last = {"R": R2, "t": t2, "feats": feats, "ts": timestamp}
+        self.frames_since_kf += 1
+        self._feat_lm = self._last_feat_lm  # per-feature landmark rows
+
+        # keyframe decision (NeedNewKeyFrame, Tracking.cc:3064-3187)
+        need_kf = (
+            self.frames_since_kf >= cfg.kf_max_frames
+            or (
+                n_inliers < cfg.kf_tracked_ratio * max(self.last_kf_inliers, 1)
+                and self.frames_since_kf >= cfg.kf_min_frames
+                and n_inliers > cfg.min_inliers
+            )
+        )
+        if need_kf:
+            self._insert_keyframe(feats, timestamp, n_inliers)
+        return True
+
+    def _match_and_optimize(self, s, feats, R0, t0, lm_mask, radius,
+                            update_stats=False):
+        cfg = self.cfg
+        idx, ok, visible, uv_pred = track_mod.match_local_map(
+            cfg.kind, cfg.K, R0, t0,
+            s.lm_pos, s.lm_desc, lm_mask,
+            s.lm_max_dist, s.lm_min_dist, s.lm_normal,
+            feats.xy, feats.descriptors, feats.octave, feats.valid,
+            radius, self.scale_factors,
+            img_wh=(float(cfg.img_wh[0]), float(cfg.img_wh[1])),
+        )
+        uv = feats.xy[idx]
+        inv_sig2 = 1.0 / (
+            self.scale_factors[jnp.clip(feats.octave[idx], 0, cfg.orb.n_levels - 1)]
+            ** 2
+        )
+        R, t, inlier, n = track_mod.pose_optimize(
+            cfg.kind, cfg.K, R0, t0, uv, s.lm_pos, inv_sig2, ok
+        )
+        if update_stats:
+            # lm bookkeeping (mnVisible/mnFound, SearchLocalPoints:3343)
+            self.map = dataclasses.replace(
+                s,
+                lm_visible=s.lm_visible + visible.astype(jnp.int32),
+                lm_found=s.lm_found + inlier.astype(jnp.int32),
+            )
+            # per-feature landmark assignment for KF creation
+            self._last_feat_lm = self._assign_features(idx, inlier, s.lmax,
+                                                       feats.xy.shape[0])
+        return R, t, inlier, n
+
+    @staticmethod
+    def _assign_features(idx, ok, lmax, n_feat):
+        """Invert the per-landmark match (landmark -> feature) into a
+        per-feature landmark row array (feature -> landmark, NO_LM if none)."""
+        lm_rows = jnp.arange(lmax, dtype=jnp.int32)
+        feat_lm = jnp.full((n_feat,), atlas_state.NO_LM, jnp.int32)
+        # later writes win; conflicts are rare (one feature best-matching two
+        # landmarks) and harmless
+        return feat_lm.at[jnp.where(ok, idx, n_feat)].set(
+            jnp.where(ok, lm_rows, 0), mode="drop"
+        )
+
+    # ------------------------------------------------------------------
+    def _insert_keyframe(self, feats, timestamp, n_inliers):
+        cfg = self.cfg
+        s = self.map
+        if int(s.n_kf) >= cfg.kmax - 1:
+            return
+        s, kf = atlas_ops.add_keyframe(
+            s, self.last["R"], self.last["t"], timestamp,
+            feats.xy, feats.octave, feats.angle, feats.descriptors, feats.valid,
+            feat_lm=self._feat_lm,
+            parent=jnp.asarray(self.last_kf_row, jnp.int32),
+            prev=jnp.asarray(self.last_kf_row, jnp.int32),
+        )
+        kf = int(kf)
+
+        # triangulate new points against the previous keyframes
+        # (CreateNewMapPoints uses the nn=10/30 best covisible neighbors,
+        # LocalMapping.cc:391-408; round 1 uses the temporal neighbors)
+        prev_rows = [self.last_kf_row]
+        if int(s.n_kf) >= 3:
+            prev_rows.append(int(s.n_kf) - 3)  # second-previous KF
+        for prev in prev_rows:
+            Xw, f1, f2, accept = local_mapper.triangulate_pair(
+                cfg.kind, cfg.K, s, kf, prev, self.scale_factors
+            )
+            s = local_mapper.insert_triangulated(
+                s, kf, jnp.asarray(prev), Xw, f1, f2, accept
+            )
+
+        # densify observations: fuse landmarks into the recent keyframes
+        # (SearchInNeighbors role) so landmarks carry more than 2 edges
+        n_kf = int(s.n_kf)
+        for krow in range(max(0, n_kf - 4), n_kf):
+            s = fuse.fuse_into_keyframe(
+                cfg.kind, cfg.K, s, jnp.asarray(krow, jnp.int32),
+                self.scale_factors,
+            )
+
+        # local BA: free window = last `local_window` KFs; fixed frontier =
+        # up to 4 earlier KFs kept as anchored cameras WITH their edges
+        # (Optimizer::LocalBundleAdjustment's lFixedCameras,
+        # Optimizer.cc:1118-1186) — dropping them caused scale drift
+        w = cfg.local_window
+        n_rows = min(n_kf, w + 4)
+        rows = np.arange(n_kf - n_rows, n_kf)
+        n_fixed = max(2, n_rows - w) if n_rows > 2 else 1
+        rows = np.concatenate([rows, np.full((w + 4) - len(rows), rows[-1])])
+        s, _ = local_mapper.local_ba(
+            cfg.kind, cfg.K, s, jnp.asarray(rows, jnp.int32),
+            n_fixed=n_fixed, window=w + 4, iters=8,
+            scale_factors=self.scale_factors,
+        )
+        s = local_mapper.cull_landmarks(s)
+        s = atlas_state.update_landmark_stats(s)
+        self.map = s
+        # refresh current pose from the optimized KF
+        self.last["R"] = s.kf_R[kf]
+        self.last["t"] = s.kf_t[kf]
+        self.velocity = None
+        self.last_kf_row = kf
+        self.last_kf_inliers = n_inliers
+        self.frames_since_kf = 0
+
+    # ------------------------------------------------------------------
+    def poses(self):
+        """Trajectory as (timestamps, Tcw rotations, translations, ok) —
+        composed against the CURRENT (post-BA) keyframe poses, matching
+        System::SaveTrajectoryEuRoC semantics."""
+        s = self.map
+        kf_R = np.array(s.kf_R)
+        kf_t = np.array(s.kf_t)
+        ts, Rs, tts, oks = [], [], [], []
+        for f in self.trajectory:
+            ts.append(f.timestamp)
+            if f.ref_kf < 0:
+                Rs.append(np.eye(3))
+                tts.append(np.zeros(3))
+                oks.append(False)
+                continue
+            Rk, tk = kf_R[f.ref_kf], kf_t[f.ref_kf]
+            R = f.R_rel @ Rk
+            t = f.R_rel @ tk + f.t_rel
+            Rs.append(R)
+            tts.append(t)
+            oks.append(f.ok)
+        return np.array(ts), np.stack(Rs), np.stack(tts), np.array(oks)

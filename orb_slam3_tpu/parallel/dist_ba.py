@@ -1,0 +1,218 @@
+"""Distributed bundle adjustment over a JAX device mesh.
+
+The SPMD realization of SURVEY.md §2.4: the landmark axis (and each
+landmark's observations) is sharded over the mesh's "lm" axis; every device
+performs Schur elimination of ITS landmark blocks locally and the reduced
+camera system is summed with `psum` over ICI. Camera states are replicated
+(they are tiny — K*6 floats). This replaces the role g2o's single-threaded
+sparse solver plays in the reference (`/root/reference/Thirdparty/g2o`) at
+scales a single chip cannot hold.
+
+Layout contract (prepared host-side by `shard_ba_problem`):
+- landmarks: [n_dev, Lp, 3] — shard d owns rows [d*Lp, (d+1)*Lp)
+- edges:     [n_dev, Ep, ...] — every edge lives on the shard of ITS landmark
+  (lm_idx is LOCAL to the shard). Padding edges have mask=False.
+
+One `dist_ba_solve` call runs the same gain-ratio LM loop as `lm/schur.py`
+but with the linear algebra distributed; on a 1-device mesh it reduces to
+the single-chip path (tested for agreement).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..lm import schur
+from ..ops import robust
+
+
+def shard_ba_problem(n_dev: int, points, point_fixed, cam_idx, lm_idx,
+                     obs_uv, obs_info, obs_mask):
+    """Host-side layout: block-partition landmarks across n_dev shards and
+    route each edge to its landmark's shard. Returns numpy arrays shaped
+    [n_dev, ...] ready for shard_map, plus the padded per-shard sizes."""
+    L = points.shape[0]
+    Lp = -(-L // n_dev)
+    E = cam_idx.shape[0]
+
+    points_s = np.zeros((n_dev, Lp, 3), np.float32)
+    pfix_s = np.ones((n_dev, Lp), bool)
+    for d in range(n_dev):
+        lo, hi = d * Lp, min((d + 1) * Lp, L)
+        points_s[d, : hi - lo] = points[lo:hi]
+        pfix_s[d, : hi - lo] = point_fixed[lo:hi]
+
+    owner = np.clip(lm_idx // Lp, 0, n_dev - 1)
+    counts = np.bincount(owner[obs_mask], minlength=n_dev)
+    Ep = max(int(counts.max()), 1)
+    cam_s = np.zeros((n_dev, Ep), np.int32)
+    lml_s = np.zeros((n_dev, Ep), np.int32)
+    uv_s = np.zeros((n_dev, Ep, 2), np.float32)
+    info_s = np.zeros((n_dev, Ep), np.float32)
+    mask_s = np.zeros((n_dev, Ep), bool)
+    fill = np.zeros(n_dev, np.int32)
+    for e in range(E):
+        if not obs_mask[e]:
+            continue
+        d = owner[e]
+        j = fill[d]
+        cam_s[d, j] = cam_idx[e]
+        lml_s[d, j] = lm_idx[e] - d * Lp
+        uv_s[d, j] = obs_uv[e]
+        info_s[d, j] = obs_info[e]
+        mask_s[d, j] = True
+        fill[d] += 1
+    return points_s, pfix_s, cam_s, lml_s, uv_s, info_s, mask_s
+
+
+def make_dist_ba_step(mesh: Mesh, residual, cam_retract, C: int,
+                      huber_delta: float | None):
+    """Build the jitted one-LM-iteration function for the given mesh.
+
+    residual(cam_state, x [3], data={"uv": [2], "K": [8]}) -> [2]
+    cam_state is a pytree of per-camera arrays (replicated).
+    """
+    axis = mesh.axis_names[0]
+
+    def shard_fn(cam_state, cam_fixed, K8, lam,
+                 points, point_fixed, cam_idx, lm_idx, uv, info, mask):
+        # local shapes: points [Lp, 3], edges [Ep, ...]
+        Lp = points.shape[0]
+        Ep = cam_idx.shape[0]
+        Kc = jax.tree_util.tree_leaves(cam_state)[0].shape[0]
+        KC = Kc * C
+
+        cs = jax.tree.map(lambda a: a[cam_idx], cam_state)
+        X = points[lm_idx]
+        data = {"uv": uv, "K": jnp.tile(K8[None], (Ep, 1))}
+
+        def f(dc, dx, cam_s, x, d):
+            return residual(cam_retract(cam_s, dc), x + dx, d)
+
+        zc = jnp.zeros((Ep, C), jnp.float32)
+        zx = jnp.zeros((Ep, 3), jnp.float32)
+        r = jax.vmap(residual)(cs, X, data)
+        Jc, Jl = jax.vmap(jax.jacfwd(f, argnums=(0, 1)))(zc, zx, cs, X, data)
+
+        chi2 = jnp.sum(r * r, axis=-1) * info
+        if huber_delta is None:
+            w = jnp.ones_like(chi2)
+            rho = chi2
+        else:
+            w = robust.huber_weight(chi2, huber_delta)
+            rho = robust.huber_rho(chi2, huber_delta)
+        w = jnp.where(mask, w * info, 0.0)
+        cost_local = jnp.sum(jnp.where(mask, rho, 0.0))
+
+        cam_free = jnp.where(cam_fixed, 0.0, 1.0)
+        lm_free = jnp.where(point_fixed, 0.0, 1.0)
+        Wr = w[:, None] * r
+        WJc = w[:, None, None] * Jc
+        WJl = w[:, None, None] * Jl
+        Hcc_e = jnp.einsum("erc,erd->ecd", Jc, WJc)
+        Hll_e = jnp.einsum("era,erb->eab", Jl, WJl)
+        Hcl_e = jnp.einsum("erc,era->eca", Jc, WJl)
+        Hcl_e = Hcl_e * cam_free[cam_idx][:, None, None] * lm_free[lm_idx][:, None, None]
+        gc_e = jnp.einsum("erc,er->ec", Jc, Wr)
+        gl_e = jnp.einsum("era,er->ea", Jl, Wr)
+
+        Hcc = jnp.zeros((Kc, C, Kc, C)).at[
+            cam_idx[:, None, None], jnp.arange(C)[None, :, None],
+            cam_idx[:, None, None], jnp.arange(C)[None, None, :],
+        ].add(Hcc_e)
+        gc = jnp.zeros((Kc, C)).at[cam_idx].add(gc_e)
+
+        Hll = jnp.zeros((Lp, 3, 3)).at[lm_idx].add(Hll_e)
+        Hll = Hll + (lam + 1e-8) * jnp.eye(3)[None]
+        Hll = jnp.where(point_fixed[:, None, None], jnp.eye(3)[None], Hll)
+        Hll_inv = jnp.linalg.inv(Hll)
+        gl = jnp.zeros((Lp, 3)).at[lm_idx].add(gl_e) * lm_free[:, None]
+
+        B = jnp.zeros((Lp, Kc, C, 3)).at[lm_idx, cam_idx].add(Hcl_e)
+        B2 = B.reshape(Lp, KC, 3)
+        BW = jnp.einsum("lkc,lcd->lkd", B2, Hll_inv)
+        S_fill = jnp.einsum("lkd,ljd->kj", BW, B2)
+        b_fill = jnp.einsum("lkd,ld->k", BW, gl)
+
+        # the distributed reduction: reduced camera system over ICI
+        S_fill = jax.lax.psum(S_fill, axis)
+        b_fill = jax.lax.psum(b_fill, axis)
+        Hcc = jax.lax.psum(Hcc, axis)
+        gc = jax.lax.psum(gc, axis)
+        cost = jax.lax.psum(cost_local, axis)
+
+        m = (cam_free[:, None] * jnp.ones((Kc, C))).reshape(KC)
+        S = Hcc.reshape(KC, KC) - S_fill
+        S = S * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
+        S = S + lam * jnp.eye(KC)
+        rhs = (-gc.reshape(KC) + b_fill) * m
+        Lch, low = jax.scipy.linalg.cho_factor(S, lower=True)
+        dc = jax.scipy.linalg.cho_solve((Lch, low), rhs)  # replicated
+
+        Hlc_dc = jnp.einsum("lkd,k->ld", B2, dc)
+        dl = jnp.einsum("lab,lb->la", Hll_inv, -gl - Hlc_dc) * lm_free[:, None]
+        return dc.reshape(Kc, C), dl, cost
+
+    sharded = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P(), P(),                      # cams/fixed/K/lam replicated
+            P(axis), P(axis), P(axis), P(axis),      # points, fixed, cam_idx, lm_idx
+            P(axis), P(axis), P(axis),               # uv, info, mask
+        ),
+        out_specs=(P(), P(axis), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def dist_ba_solve(mesh, residual, cam_retract, cam_state, cam_fixed, K8,
+                  points_s, pfix_s, cam_s, lml_s, uv_s, info_s, mask_s,
+                  num_iters: int = 10, lam0: float = 1e-5, C: int = 6,
+                  huber_delta: float | None = None):
+    """LM loop on the host around the jitted distributed step. Returns
+    (cam_state, points_s, costs list)."""
+    step = make_dist_ba_step(mesh, residual, cam_retract, C, huber_delta)
+    axis = mesh.axis_names[0]
+    lam = lam0
+    costs = []
+
+    def apply_cam(cam_state, dc):
+        dc = jnp.where(cam_fixed[:, None], 0.0, dc)
+        return jax.vmap(cam_retract)(cam_state, dc)
+
+    prev_cost = None
+    for it in range(num_iters):
+        dc, dl, cost = step(
+            cam_state, cam_fixed, K8, jnp.asarray(lam, jnp.float32),
+            points_s.reshape(-1, 3), pfix_s.reshape(-1),
+            cam_s.reshape(-1), lml_s.reshape(-1),
+            uv_s.reshape(-1, 2), info_s.reshape(-1), mask_s.reshape(-1),
+        )
+        cost = float(cost)
+        costs.append(cost)
+        cand_cams = apply_cam(cam_state, dc)
+        cand_points = points_s.reshape(-1, 3) + dl
+        # evaluate candidate cost with a zero-lam linearization call (cheap
+        # proxy: reuse step's cost output next iteration); accept based on
+        # next-cost comparison
+        _, _, cand_cost = step(
+            cand_cams, cam_fixed, K8, jnp.asarray(lam, jnp.float32),
+            cand_points, pfix_s.reshape(-1),
+            cam_s.reshape(-1), lml_s.reshape(-1),
+            uv_s.reshape(-1, 2), info_s.reshape(-1), mask_s.reshape(-1),
+        )
+        if float(cand_cost) < cost:
+            cam_state = cand_cams
+            points_s = cand_points.reshape(points_s.shape)
+            lam = max(lam * 0.5, 1e-12)
+        else:
+            lam = min(lam * 4.0, 1e10)
+    return cam_state, points_s, costs

@@ -127,9 +127,10 @@ def insert_triangulated(s: MapState, kf1, kf2, Xw, f1, f2, accept) -> MapState:
     return s3
 
 
-@partial(jax.jit, static_argnames=("kind", "window", "iters"))
+@partial(jax.jit, static_argnames=("kind", "window", "iters", "stereo"))
 def local_ba(kind: int, K, s: MapState, window_rows, n_fixed: int = 2,
-             window: int = 8, iters: int = 10, scale_factors=None):
+             window: int = 8, iters: int = 10, scale_factors=None,
+             stereo: bool = False, bf: float = 0.0):
     """Windowed local BA over `window` keyframe rows (padded with repeats).
 
     window_rows: [window] int32 KF rows, the LAST `window` valid KFs; the
@@ -176,34 +177,74 @@ def local_ba(kind: int, K, s: MapState, window_rows, n_fixed: int = 2,
 
     cam_fixed = (jnp.arange(W) < n_fixed) | ~first_occ
 
-    res = lm_edges.make_mono_residual(kind)
-
-    def ba_residual(cam_state, x, data):
-        return res(cam_state, {"x": x}, data)
-
     E = W * Fc
+    if stereo:
+        # 3-dim (uL, v, uR) residual; mono rows (ur < 0) mask the third
+        # component through a zeroed info entry (EdgeStereoSE3ProjectXYZ,
+        # Optimizer.cc:1325-1352)
+        ur = s.kf_feat_ur[rows].reshape(-1)
+        has_ur = ur >= 0.0
+        uvr = jnp.concatenate([uv, jnp.where(has_ur, ur, 0.0)[:, None]], axis=1)
+        info3 = (
+            jnp.stack(
+                [
+                    jnp.ones_like(ur),
+                    jnp.ones_like(ur),
+                    has_ur.astype(jnp.float32),
+                ],
+                axis=-1,
+            )
+            * inv_sigma2[:, None]
+        )
+        obs_info = jax.vmap(jnp.diag)(info3)  # [E, 3, 3]
+        sres = lm_edges.make_stereo_residual(kind)
+
+        def ba_residual(cam_state, x, data):
+            r3 = sres(cam_state, {"x": x}, data)
+            return r3
+
+        obs_data = {
+            "uvr": uvr,
+            "K": jnp.tile(K[None], (E, 1)),
+            "bf": jnp.full((E,), bf, jnp.float32),
+        }
+        residual_dim = 3
+        huber = robust.CHI2_3DOF ** 0.5
+        gate = 7.815
+    else:
+        res = lm_edges.make_mono_residual(kind)
+
+        def ba_residual(cam_state, x, data):
+            return res(cam_state, {"x": x}, data)
+
+        obs_data = {"uv": uv, "K": jnp.tile(K[None], (E, 1))}
+        obs_info = inv_sigma2
+        residual_dim = 2
+        huber = robust.CHI2_2DOF ** 0.5
+        gate = 9.21
+
     bap = schur.BAProblem(
         cams=lm_edges.make_pose_block(s.kf_R[rows], s.kf_t[rows], cam_fixed),
         points=s.lm_pos,
         point_fixed=point_fixed,
         cam_idx=cam_idx,
         lm_idx=lm_edge,
-        obs_data={"uv": uv, "K": jnp.tile(K[None], (E, 1))},
-        obs_info=inv_sigma2,
+        obs_data=obs_data,
+        obs_info=obs_info,
         obs_mask=mask,
         cam_edges=(),
-        residual_dim=2,
+        residual_dim=residual_dim,
         residual=ba_residual,
-        huber_delta=robust.CHI2_2DOF ** 0.5,
+        huber_delta=huber,
     )
     solved, stats = schur.solve(bap, num_iters=iters, lam0=1e-5)
 
     # outlier detach at the optimized state. NOTE: detaching is permanent
-    # until a fuse pass re-binds, so the gate is set at the 99% quantile
-    # (9.21) rather than the reference's 5.991 — our round-1 graph is thinner
-    # than the reference's and over-trimming starves the scale coupling
+    # until a fuse pass re-binds, so the gate is set loosely (99% quantile)
+    # rather than the reference's 95% — our round-1 graph is thinner than the
+    # reference's and over-trimming starves the scale coupling
     chi2 = schur.obs_chi2(solved)
-    inlier = chi2 < 9.21
+    inlier = chi2 < gate
     new_feat_lm = jnp.where(
         (mask & ~inlier).reshape(W, Fc), NO_LM, s.kf_feat_lm[rows]
     )
@@ -220,9 +261,12 @@ def local_ba(kind: int, K, s: MapState, window_rows, n_fixed: int = 2,
 
 
 def cull_landmarks(s: MapState, min_found_ratio: float = 0.25,
-                   min_obs: int = 2) -> MapState:
+                   min_obs: int = 2, grace_kfs: int = 2) -> MapState:
     """MapPointCulling (`LocalMapping.cc:346-386`): kill landmarks whose
-    found/visible ratio is poor or that lost their observations."""
+    found/visible ratio is poor, or that still have too few observations
+    once `grace_kfs` keyframes have passed since their creation (the
+    reference's '<=2/3 observers within 2-3 KFs of birth' rule — fresh
+    points get time to accumulate observations via tracking and fuse)."""
     L = s.lmax
     obs_cnt = jnp.zeros((L,), jnp.int32).at[
         jnp.clip(s.kf_feat_lm, 0, L - 1)
@@ -231,8 +275,11 @@ def cull_landmarks(s: MapState, min_found_ratio: float = 0.25,
         s.lm_visible.astype(jnp.float32), 1.0
     )
     seen = s.lm_visible > 3  # only judge once it has been tested a few times
+    mature = (s.n_kf - 1 - s.lm_first_kf) >= grace_kfs
     bad = s.lm_valid & (
-        (obs_cnt < min_obs) | (seen & (ratio < min_found_ratio))
+        (mature & (obs_cnt < min_obs))
+        | (seen & (ratio < min_found_ratio))
+        | (obs_cnt == 0)
     )
     rows = jnp.arange(L, dtype=jnp.int32)
     return atlas_ops.invalidate_landmarks(s, rows, bad)

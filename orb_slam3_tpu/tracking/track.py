@@ -98,6 +98,89 @@ def pose_optimize(kind: int, K, R0, t0, uv, Xw, inv_sigma2, valid,
     return R, t, mask > 0, jnp.sum(mask > 0)
 
 
+@partial(jax.jit, static_argnames=("kind", "rounds", "iters"))
+def pose_optimize_stereo(kind: int, K, bf, R0, t0, uv, ur, Xw, inv_sigma2,
+                         valid, rounds: int = 4, iters: int = 10):
+    """Motion-only BA with mixed mono/stereo edges.
+
+    Stereo edges (ur >= 0) contribute the 3-dim (uL, v, uR) residual of
+    g2o::EdgeStereoSE3ProjectXYZOnlyPose with uR = uL - bf/z; mono edges
+    (ur < 0) have the third component masked. Gates use chi2 5.991 (mono) /
+    7.815 (stereo) like PoseOptimization (Optimizer.cc:871-872, 999-1046).
+    """
+    has_ur = ur >= 0.0
+    obs3 = jnp.concatenate([uv, jnp.where(has_ur, ur, 0.0)[:, None]], axis=1)
+    comp_w = jnp.concatenate(
+        [jnp.ones_like(uv), has_ur.astype(jnp.float32)[:, None]], axis=1
+    )  # [N, 3]
+    gate = jnp.where(has_ur, robust.CHI2_3DOF, robust.CHI2_2DOF)
+    delta_m = robust.CHI2_2DOF ** 0.5
+    delta_s = robust.CHI2_3DOF ** 0.5
+    deltas = jnp.where(has_ur, delta_s, delta_m)
+
+    def residuals(R, t):
+        Xc = lie.se3_apply(R, t, Xw)
+        p2 = cam.project(kind, K, Xc)
+        z = jnp.where(jnp.abs(Xc[:, 2]) < 1e-9, 1e-9, Xc[:, 2])
+        ur_pred = p2[:, 0] - bf / z
+        pred = jnp.concatenate([p2, ur_pred[:, None]], axis=1)
+        r = (obs3 - pred) * comp_w
+        return r, Xc[:, 2]
+
+    def chi2_of(R, t):
+        r, z = residuals(R, t)
+        c2 = jnp.sum(r * r, axis=-1) * inv_sigma2
+        return jnp.where(z > 0, c2, 1e9)
+
+    def gn_round(carry, round_i):
+        R, t, mask = carry
+        use_huber = round_i < 2
+
+        def gn_iter(carry2, _):
+            R, t, lam = carry2
+
+            def res_flat(dxi):
+                Rn, tn = lie.se3_lplus(R, t, dxi)
+                r, _ = residuals(Rn, tn)
+                return r.reshape(-1)
+
+            r = res_flat(jnp.zeros(6)).reshape(-1, 3)
+            J = jax.jacfwd(res_flat)(jnp.zeros(6)).reshape(-1, 3, 6)
+            c2 = jnp.sum(r * r, axis=-1) * inv_sigma2
+            w_rob = jnp.where(
+                use_huber, robust.huber_weight(c2, deltas), jnp.ones_like(c2)
+            )
+            w = w_rob * inv_sigma2 * mask
+            wJ = J * w[:, None, None]
+            H = jnp.einsum("nri,nrj->ij", J, wJ)
+            g = jnp.einsum("nri,nr->i", wJ, r)
+            dxi = jnp.linalg.solve(H + lam * jnp.eye(6), -g)
+            okf = jnp.all(jnp.isfinite(dxi))
+            dxi = jnp.where(okf, dxi, 0.0)
+            Rn, tn = lie.se3_lplus(R, t, dxi)
+            c_old = jnp.sum(jnp.minimum(c2, gate) * mask)
+            c2n = chi2_of(Rn, tn)
+            c_new = jnp.sum(jnp.minimum(c2n, gate) * mask)
+            accept = c_new < c_old
+            return (
+                jnp.where(accept, Rn, R),
+                jnp.where(accept, tn, t),
+                jnp.where(accept, lam * 0.5, lam * 4.0),
+            ), None
+
+        (R, t, _), _ = jax.lax.scan(
+            gn_iter, (R, t, jnp.asarray(1e-3)), None, length=iters
+        )
+        c2 = chi2_of(R, t)
+        mask_new = jnp.where(c2 < gate, valid.astype(jnp.float32), 0.0)
+        return (R, t, mask_new), None
+
+    (R, t, mask), _ = jax.lax.scan(
+        gn_round, (R0, t0, valid.astype(jnp.float32)), jnp.arange(rounds)
+    )
+    return R, t, mask > 0, jnp.sum(mask > 0)
+
+
 @partial(jax.jit, static_argnames=("kind",))
 def match_local_map(kind: int, K, R, t, lm_pos, lm_desc, lm_valid,
                     lm_max_dist, lm_min_dist, lm_normal,

@@ -39,6 +39,11 @@ class TrackerConfig:
     K: jnp.ndarray = None  # camera params [8]
     kind: int = cam.PINHOLE
     img_wh: tuple = (640, 480)
+    sensor: str = "mono"            # "mono" | "stereo" | "rgbd"
+    bf: float = 0.0                 # baseline * fx (stereo/rgbd)
+    min_depth: float = 0.1
+    th_depth: float = 40.0          # close-point threshold (Settings thDepth)
+    depth_factor: float = 1.0       # RGBD depth map scaling
     orb: orb.OrbConfig = dataclasses.field(default_factory=lambda: orb.OrbConfig())
     init_min_matches: int = 80      # Tracking.cc:2492 (100 in ref)
     min_inliers: int = 15           # accept thresholds Tracking.cc:3030-3061
@@ -86,13 +91,42 @@ class Tracker:
         self.frames_since_kf = 0
         self.trajectory: list[FrameRecord] = []
         self.lost_count = 0
+        self._frame_ur = None
+        self._frame_depth = None
+        self._tracked_lms = None
         self._extract = jax.jit(lambda im: orb.extract(im, cfg.orb))
 
     # ------------------------------------------------------------------
-    def process(self, img, timestamp: float):
-        feats = self._extract(jnp.asarray(img, jnp.float32))
+    def process(self, img, timestamp: float, img_right=None, depth_map=None):
+        """Track one frame. For sensor="stereo" pass img_right; for
+        sensor="rgbd" pass depth_map (System::TrackStereo/TrackRGBD/
+        TrackMonocular routing, System.cc:244/328/399)."""
+        from ..frontend import stereo as stereo_mod
+
+        img = jnp.asarray(img, jnp.float32)
+        feats = self._extract(img)
+        ur = depth = None
+        if self.cfg.sensor == "stereo":
+            feats_r = self._extract(jnp.asarray(img_right, jnp.float32))
+            ur, depth, _ = stereo_mod.match_stereo(
+                feats.xy, feats.octave, feats.descriptors, feats.valid,
+                feats_r.xy, feats_r.octave, feats_r.descriptors, feats_r.valid,
+                img, jnp.asarray(img_right, jnp.float32),
+                self.scale_factors, self.cfg.bf, self.cfg.min_depth,
+            )
+        elif self.cfg.sensor == "rgbd":
+            ur, depth, _ = stereo_mod.depth_from_rgbd(
+                feats.xy, jnp.asarray(depth_map, jnp.float32),
+                self.cfg.bf, self.cfg.depth_factor,
+            )
+        self._frame_ur = ur
+        self._frame_depth = depth
+
         if self.state == NOT_INITIALIZED:
-            ok = self._try_initialize(feats, timestamp)
+            if self.cfg.sensor == "mono":
+                ok = self._try_initialize(feats, timestamp)
+            else:
+                ok = self._initialize_with_depth(feats, ur, depth, timestamp)
         else:
             ok = self._track_frame(feats, timestamp)
         self._record_frame(timestamp, ok)
@@ -206,6 +240,44 @@ class Tracker:
         return True
 
     # ------------------------------------------------------------------
+    # stereo / RGB-D initialization (StereoInitialization, Tracking.cc:2335)
+    # ------------------------------------------------------------------
+    def _initialize_with_depth(self, feats, ur, depth, timestamp) -> bool:
+        cfg = self.cfg
+        n_kp = int(feats.valid.sum())
+        if n_kp < 100:  # reference requires >500 at full budget (:2337)
+            return False
+        has_depth = (depth > cfg.min_depth) & feats.valid
+        if int(has_depth.sum()) < 50:
+            return False
+
+        s = self.map
+        s, kf0 = atlas_ops.add_keyframe(
+            s, jnp.eye(3), jnp.zeros(3), timestamp,
+            feats.xy, feats.octave, feats.angle, feats.descriptors, feats.valid,
+            feat_ur=ur, feat_depth=depth,
+        )
+        # unproject every keypoint with depth (Tracking.cc:2365-2395)
+        rays = cam.unproject(cfg.kind, cfg.K, feats.xy)
+        X = rays * depth[:, None]
+        s, rows = atlas_ops.add_landmarks(
+            s, X, feats.descriptors,
+            jnp.full((X.shape[0],), int(kf0), jnp.int32), has_depth,
+            jnp.full((X.shape[0],), int(kf0), jnp.int32),
+            jnp.arange(X.shape[0], dtype=jnp.int32),
+        )
+        s = atlas_state.update_landmark_stats(s)
+        self.map = s
+        self.state = OK
+        self.last = {"R": jnp.eye(3), "t": jnp.zeros(3), "feats": feats,
+                     "ts": timestamp}
+        self.velocity = None
+        self.last_kf_row = int(kf0)
+        self.last_kf_inliers = int(has_depth.sum())
+        self.frames_since_kf = 0
+        return True
+
+    # ------------------------------------------------------------------
     # per-frame tracking (TrackWithMotionModel + TrackLocalMap)
     # ------------------------------------------------------------------
     def _track_frame(self, feats, timestamp) -> bool:
@@ -222,9 +294,18 @@ class Tracker:
 
         in_map = s.lm_valid & (s.lm_map_id == s.active_map)
 
-        # stage 1: coarse matching at predicted pose, wide radius
+        # stage 1: match only the landmarks tracked in the LAST frame at the
+        # predicted pose (TrackWithMotionModel matches the last frame's map
+        # points, Tracking.cc:2854-2947 — re-associating the whole map at a
+        # wide radius invites aliasing jumps); fall back to the full map when
+        # continuity is lost
+        stage1_mask = in_map
+        if getattr(self, "_tracked_lms", None) is not None:
+            cont = in_map & self._tracked_lms
+            if int(cont.sum()) > cfg.min_inliers * 2:
+                stage1_mask = cont
         R1, t1, inl1, n1 = self._match_and_optimize(
-            s, feats, R_pred, t_pred, in_map, cfg.match_radius_coarse
+            s, feats, R_pred, t_pred, stage1_mask, cfg.match_radius_coarse
         )
         # fallback: a poisoned motion model (e.g. planar-ambiguity pose flip)
         # makes the prediction much worse than the last pose — retry from the
@@ -253,6 +334,7 @@ class Tracker:
             # keep prediction as pose estimate
             self.last = {"R": R_pred, "t": t_pred, "feats": feats, "ts": timestamp}
             self.velocity = None
+            self._tracked_lms = None
             return False
         self.lost_count = 0
         self.state = OK
@@ -293,9 +375,16 @@ class Tracker:
             self.scale_factors[jnp.clip(feats.octave[idx], 0, cfg.orb.n_levels - 1)]
             ** 2
         )
-        R, t, inlier, n = track_mod.pose_optimize(
-            cfg.kind, cfg.K, R0, t0, uv, s.lm_pos, inv_sig2, ok
-        )
+        if cfg.sensor == "mono" or self._frame_ur is None:
+            R, t, inlier, n = track_mod.pose_optimize(
+                cfg.kind, cfg.K, R0, t0, uv, s.lm_pos, inv_sig2, ok
+            )
+        else:
+            ur_edge = jnp.where(ok, self._frame_ur[idx], -1.0)
+            R, t, inlier, n = track_mod.pose_optimize_stereo(
+                cfg.kind, cfg.K, cfg.bf, R0, t0, uv, ur_edge, s.lm_pos,
+                inv_sig2, ok,
+            )
         if update_stats:
             # lm bookkeeping (mnVisible/mnFound, SearchLocalPoints:3343)
             self.map = dataclasses.replace(
@@ -303,6 +392,7 @@ class Tracker:
                 lm_visible=s.lm_visible + visible.astype(jnp.int32),
                 lm_found=s.lm_found + inlier.astype(jnp.int32),
             )
+            self._tracked_lms = inlier  # continuity set for next frame
             # per-feature landmark assignment for KF creation
             self._last_feat_lm = self._assign_features(idx, inlier, s.lmax,
                                                        feats.xy.shape[0])
@@ -330,16 +420,37 @@ class Tracker:
             s, self.last["R"], self.last["t"], timestamp,
             feats.xy, feats.octave, feats.angle, feats.descriptors, feats.valid,
             feat_lm=self._feat_lm,
+            feat_ur=self._frame_ur, feat_depth=self._frame_depth,
             parent=jnp.asarray(self.last_kf_row, jnp.int32),
             prev=jnp.asarray(self.last_kf_row, jnp.int32),
         )
         kf = int(kf)
 
+        # stereo/RGBD: create landmarks directly from depth for unbound close
+        # points (CreateNewKeyFrame, Tracking.cc:3247-3331)
+        if cfg.sensor != "mono" and self._frame_depth is not None:
+            depth = self._frame_depth
+            unbound = feats.valid & (self._feat_lm < 0)
+            close = (depth > cfg.min_depth) & (depth < cfg.th_depth) & unbound
+            rays = cam.unproject(cfg.kind, cfg.K, feats.xy)
+            Xc = rays * depth[:, None]
+            Rw, tw = lie.se3_inv(self.last["R"], self.last["t"])
+            Xw = lie.se3_apply(Rw, tw, Xc)
+            s, _ = atlas_ops.add_landmarks(
+                s, Xw, feats.descriptors,
+                jnp.full((Xw.shape[0],), kf, jnp.int32), close,
+                jnp.full((Xw.shape[0],), kf, jnp.int32),
+                jnp.arange(Xw.shape[0], dtype=jnp.int32),
+            )
+
         # triangulate new points against the previous keyframes
         # (CreateNewMapPoints uses the nn=10/30 best covisible neighbors,
-        # LocalMapping.cc:391-408; round 1 uses the temporal neighbors)
-        prev_rows = [self.last_kf_row]
-        if int(s.n_kf) >= 3:
+        # LocalMapping.cc:391-408; round 1 uses the temporal neighbors).
+        # Depth sensors already created close points above; triangulating the
+        # depth-rejected leftovers (mostly occlusion boundaries) poisons the
+        # map, so only mono triangulates here in round 1.
+        prev_rows = [self.last_kf_row] if cfg.sensor == "mono" else []
+        if cfg.sensor == "mono" and int(s.n_kf) >= 3:
             prev_rows.append(int(s.n_kf) - 3)  # second-previous KF
         for prev in prev_rows:
             Xw, f1, f2, accept = local_mapper.triangulate_pair(
@@ -371,6 +482,7 @@ class Tracker:
             cfg.kind, cfg.K, s, jnp.asarray(rows, jnp.int32),
             n_fixed=n_fixed, window=w + 4, iters=8,
             scale_factors=self.scale_factors,
+            stereo=(cfg.sensor != "mono"), bf=cfg.bf,
         )
         s = local_mapper.cull_landmarks(s)
         s = atlas_state.update_landmark_stats(s)

@@ -55,6 +55,41 @@ class PlaneScene:
                          y0=y0, y1=y1, tex=make_texture(seed + 1 + j))
                 )
 
+    def render_with_depth(self, R_cw, t_cw):
+        """Render image + metric depth map (for RGB-D tests)."""
+        img = self.render(R_cw, t_cw)
+        w, h = self.img_wh
+        fx, fy = self.K[0, 0], self.K[1, 1]
+        cx, cy = self.K[0, 2], self.K[1, 2]
+        us, vs = np.meshgrid(np.arange(w), np.arange(h))
+        rays = np.stack(
+            [(us - cx) / fx, (vs - cy) / fy, np.ones_like(us, np.float64)], -1
+        )  # camera-frame rays
+        R_wc = R_cw.T
+        c = -R_wc @ t_cw
+        rays_w = rays @ R_wc.T  # [h, w, 3]
+        depth = np.zeros((h, w), np.float32)
+        for pl in self.planes:  # far to near: nearer planes overwrite
+            rz = rays_w[..., 2]
+            lam = (pl["z"] - c[2]) / np.where(np.abs(rz) < 1e-9, 1e-9, rz)
+            Xw = c[None, None, :] + lam[..., None] * rays_w
+            inside = (
+                (lam > 0)
+                & (Xw[..., 0] >= pl["x0"]) & (Xw[..., 0] <= pl["x1"])
+                & (Xw[..., 1] >= pl["y0"]) & (Xw[..., 1] <= pl["y1"])
+            )
+            z_cam = lam * rays[..., 2]  # = lam since rays z=1
+            depth = np.where(inside, z_cam.astype(np.float32), depth)
+        return img, depth
+
+    def render_stereo(self, R_cw, t_cw, baseline):
+        """Left + right images for a rectified stereo pair (right camera
+        displaced +baseline along the left camera's x-axis)."""
+        left = self.render(R_cw, t_cw)
+        t_right = t_cw - np.array([baseline, 0.0, 0.0])
+        right = self.render(R_cw, t_right)
+        return left, right
+
     def render(self, R_cw, t_cw):
         w, h = self.img_wh
         img = np.zeros((h, w), np.float32)

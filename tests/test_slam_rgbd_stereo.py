@@ -1,0 +1,63 @@
+"""End-to-end RGB-D and stereo SLAM on the synthetic scene. With metric
+depth there is no scale gauge — accuracy should beat the mono path."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam3_tpu.api import evaluate
+from orb_slam3_tpu.frontend import camera as cam
+from orb_slam3_tpu.frontend import orb
+from orb_slam3_tpu.tracking import tracker as trk
+from synthetic_scene import PlaneScene, orbit_trajectory
+
+K = cam.make_pinhole(350.0, 350.0, 256.0, 192.0)
+IMG_WH = (512, 384)
+
+
+def _cfg(sensor, bf):
+    return trk.TrackerConfig(
+        K=K, img_wh=IMG_WH, sensor=sensor, bf=bf, th_depth=20.0,
+        orb=orb.OrbConfig(n_features=600, n_levels=4),
+        kmax=32, lmax=4096, local_window=6,
+    )
+
+
+def test_rgbd_end_to_end():
+    scene = PlaneScene(np.array(K), img_wh=IMG_WH, two_planes=True, seed=1)
+    n = 25
+    R_gt, t_gt = orbit_trajectory(n)
+    t = trk.Tracker(_cfg("rgbd", bf=350.0 * 0.1))
+    for i in range(n):
+        img, depth = scene.render_with_depth(R_gt[i], t_gt[i])
+        t.process(img, i * 0.05, depth_map=depth)
+    ts, R, tt, ok = t.poses()
+    assert ok.sum() >= 0.8 * n, f"tracked {ok.sum()}/{n}"
+    est_c = evaluate.camera_centers(R[ok], tt[ok])
+    gt_c = evaluate.camera_centers(R_gt[ok], t_gt[ok])
+    rmse, nm, s = evaluate.ate_rmse(ts[ok], est_c, ts[ok], gt_c, with_scale=False)
+    # metric depth: no scale alignment allowed; trajectory is ~0.9 units at
+    # mean scene depth 5.5. Round-1 gate ~5% relative; reference-level (~1%)
+    # needs subpixel keypoints — round-2 item.
+    assert rmse < 0.30, f"RGBD ATE {rmse:.4f}"
+    assert abs(1.0 - s) < 1e-6  # with_scale=False
+
+
+def test_stereo_end_to_end():
+    scene = PlaneScene(np.array(K), img_wh=IMG_WH, two_planes=True, seed=2)
+    n = 20
+    baseline = 0.12
+    R_gt, t_gt = orbit_trajectory(n)
+    t = trk.Tracker(_cfg("stereo", bf=350.0 * baseline))
+    for i in range(n):
+        left, right = scene.render_stereo(R_gt[i], t_gt[i], baseline)
+        t.process(left, i * 0.05, img_right=right)
+    ts, R, tt, ok = t.poses()
+    assert ok.sum() >= 0.8 * n, f"tracked {ok.sum()}/{n}"
+    est_c = evaluate.camera_centers(R[ok], tt[ok])
+    gt_c = evaluate.camera_centers(R_gt[ok], t_gt[ok])
+    rmse, nm, s = evaluate.ate_rmse(ts[ok], est_c, ts[ok], gt_c, with_scale=False)
+    assert rmse < 0.15, f"stereo ATE {rmse:.4f}"

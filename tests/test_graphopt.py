@@ -1,0 +1,133 @@
+"""Sim3 solver + essential-graph optimization tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam3_tpu.frontend import camera as cam
+from orb_slam3_tpu.graphopt import essential, sim3_solver
+from orb_slam3_tpu.ops import lie
+
+K = cam.make_pinhole(400.0, 400.0, 320.0, 240.0)
+
+
+class TestSim3Solver:
+    def test_horn_exact(self):
+        key = jax.random.PRNGKey(0)
+        P = jax.random.normal(key, (50, 3)) * 2.0
+        R_gt = lie.so3_exp(jnp.array([0.3, -0.2, 0.5]))
+        s_gt = 1.7
+        t_gt = jnp.array([0.5, -1.0, 2.0])
+        Q = s_gt * (P @ R_gt.T) + t_gt
+        R, t, s = sim3_solver.horn_sim3(P, Q, jnp.ones(50))
+        np.testing.assert_allclose(np.array(R), np.array(R_gt), atol=1e-5)
+        np.testing.assert_allclose(float(s), s_gt, atol=1e-5)
+        np.testing.assert_allclose(np.array(t), np.array(t_gt), atol=1e-4)
+
+    def test_fixed_scale(self):
+        key = jax.random.PRNGKey(1)
+        P = jax.random.normal(key, (30, 3))
+        R_gt = lie.so3_exp(jnp.array([0.1, 0.2, -0.1]))
+        Q = P @ R_gt.T + jnp.array([1.0, 0, 0])
+        R, t, s = sim3_solver.horn_sim3(P, Q, jnp.ones(30), fix_scale=True)
+        assert float(s) == 1.0
+        np.testing.assert_allclose(np.array(R), np.array(R_gt), atol=1e-5)
+
+    def test_ransac_with_outliers(self):
+        """Two 'maps' of the same scene related by a Sim3 (drift): matched
+        landmarks with 25% wrong matches."""
+        key = jax.random.PRNGKey(2)
+        n = 80
+        # scene points in front of camera 1
+        X1 = jnp.concatenate(
+            [
+                jax.random.uniform(key, (n, 2), minval=-2, maxval=2),
+                jax.random.uniform(jax.random.PRNGKey(3), (n, 1), minval=4, maxval=8),
+            ],
+            axis=-1,
+        )
+        # map-2 world frame differs by a similarity (drift): X2 = sim(X1)
+        Rd, td, sd = lie.sim3_exp(jnp.array([0.2, -0.1, 0.3, 0.05, 0.1, -0.04, 0.15]))
+        X2 = sd * (X1 @ Rd.T) + td
+        # corrupt 25% of the matches
+        X2 = X2.at[:20].set(
+            jax.random.uniform(jax.random.PRNGKey(4), (20, 3), minval=-5, maxval=5)
+        )
+        # cameras: cam1 at identity sees X1; cam2 poses s.t. P2 = X2 (identity)
+        R1, t1 = jnp.eye(3), jnp.zeros(3)
+        R2, t2 = jnp.eye(3), jnp.zeros(3)
+        uv1 = cam.pinhole_project(K, X1)
+        uv2 = cam.pinhole_project(K, X2.at[:20].set(X2[:20]))
+        # observed uv2 of the TRUE points (i.e. what camera 2 actually sees)
+        uv2 = cam.pinhole_project(K, sd * (X1 @ Rd.T) + td)
+
+        R, t, s, inl, n_inl = sim3_solver.sim3_ransac(
+            jax.random.PRNGKey(5), cam.PINHOLE, K,
+            X1, X2, jnp.ones(n, bool), R1, t1, R2, t2, uv1, uv2,
+        )
+        assert int(n_inl) >= 55
+        # S12 maps cam2 frame -> cam1 frame: X1 = S12(X2) => R = Rd^T/sd...
+        # check via action: applying (R,t,s) to true X2 recovers X1
+        X2_true = sd * (X1 @ Rd.T) + td
+        X1_rec = s * (X2_true @ R.T) + t
+        err = jnp.linalg.norm(X1_rec - X1, axis=-1)
+        assert float(jnp.median(err)) < 0.05
+
+
+class TestEssentialGraph:
+    def test_scale_drift_loop_correction(self):
+        """Circular trajectory with accumulated scale + pose drift; a loop
+        edge with the true relative constraint must pull the chain closed
+        (the OptimizeEssentialGraph contract)."""
+        n = 16
+        ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+        t_gt = np.stack([np.cos(ang), np.sin(ang), np.zeros(n)], -1)
+        R_gt = np.array(lie.so3_exp(jnp.asarray(
+            np.stack([np.zeros(n), np.zeros(n), ang], -1))))
+
+        # drifted initialization: growing scale error + pose noise
+        drift_scale = np.linspace(1.0, 1.35, n)
+        rng = np.random.default_rng(0)
+        R0 = []
+        t0 = []
+        for i in range(n):
+            dxi = 0.03 * rng.normal(size=6) * (i / n)
+            dR, dt = lie.se3_exp(jnp.asarray(dxi, jnp.float32))
+            Ri, ti = lie.se3_mul(dR, dt, jnp.asarray(R_gt[i]), jnp.asarray(t_gt[i] * drift_scale[i]))
+            R0.append(np.array(Ri))
+            t0.append(np.array(ti))
+        R0, t0 = np.stack(R0), np.stack(t0)
+        s0 = np.ones(n, np.float32)
+
+        # edges: consecutive with MEASURED (true) relative SE3; plus the
+        # loop edge n-1 -> 0
+        src = np.arange(n, dtype=np.int32)
+        dst = (src + 1) % n
+        Rr, tr = [], []
+        for i in range(n):
+            j = (i + 1) % n
+            Ri, ti = lie.se3_inv(jnp.asarray(R_gt[i]), jnp.asarray(t_gt[i]))
+            Rj, tj = jnp.asarray(R_gt[j]), jnp.asarray(t_gt[j])
+            Rrel, trel = lie.se3_mul(Rj, tj, Ri, ti)
+            Rr.append(np.array(Rrel))
+            tr.append(np.array(trel))
+        fixed = jnp.zeros(n, bool).at[0].set(True)
+
+        Ropt, topt, sopt, stats = essential.optimize_essential_graph(
+            jnp.asarray(R0), jnp.asarray(t0), jnp.asarray(s0), fixed,
+            jnp.asarray(src), jnp.asarray(dst),
+            jnp.asarray(np.stack(Rr)), jnp.asarray(np.stack(tr)),
+            jnp.ones(n), jnp.ones(n, bool), iters=30,
+        )
+        assert float(stats.cost) < float(stats.cost0) * 0.01
+
+        # recover SE3 poses: t / s; compare camera centers to ground truth
+        centers = -np.einsum("nij,ni->nj", np.array(Ropt),
+                             np.array(topt) / np.array(sopt)[:, None])
+        gt_centers = -np.einsum("nij,ni->nj", R_gt, t_gt)
+        err = np.linalg.norm(centers - gt_centers, axis=1)
+        err0 = np.linalg.norm(
+            -np.einsum("nij,ni->nj", R0, t0) - gt_centers, axis=1
+        )
+        assert err.max() < 0.05, (err.max(), err0.max())
+        assert err.max() < err0.max() * 0.2

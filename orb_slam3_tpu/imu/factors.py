@@ -51,6 +51,10 @@ def vec3_retract(state, delta):
     return {"v": state["v"] + delta}
 
 
+def vec3_retract_b(state, delta):
+    return {"b": state["b"] + delta}
+
+
 def make_vec3_block(v, fixed):
     return VertexBlock(state={"v": v}, fixed=fixed, tangent_dim=3, retract=vec3_retract)
 

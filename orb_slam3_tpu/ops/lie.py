@@ -82,11 +82,15 @@ def so3_log(R):
     """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
     skew = vee(R - jnp.swapaxes(R, -1, -2))
+    # angle via atan2(sin, cos): smooth gradients everywhere, unlike arccos
+    # whose derivative blows up at cos=1 (f32 lands there for tiny rotations,
+    # which NaN'd the autodiff Jacobians of near-zero rotation residuals)
+    ss = jnp.sum(skew * skew, axis=-1)
+    sin_t = 0.5 * jnp.sqrt(ss + 1e-24)
+    theta = jnp.arctan2(sin_t, cos_t)
 
     # generic branch (also covers theta ~ 0 via taylor)
-    sin_t = jnp.sin(theta)
     small_s, sin_s = _safe(sin_t, 1e-6)
     w_generic = skew * (
         jnp.where(small_s, 0.5 + theta * theta / 12.0, theta / (2.0 * sin_s))[..., None]
@@ -103,8 +107,7 @@ def so3_log(R):
     axis_unnorm = jnp.take_along_axis(M, row_idx, axis=-2)[..., 0, :]
     norm = jnp.linalg.norm(axis_unnorm, axis=-1, keepdims=True)
     axis = axis_unnorm / jnp.where(norm < 1e-20, 1.0, norm)
-    sn = 0.5 * jnp.linalg.norm(skew, axis=-1)
-    theta_pi = jnp.pi - jnp.arcsin(jnp.clip(sn, 0.0, 1.0))
+    theta_pi = jnp.pi - jnp.arcsin(jnp.clip(sin_t, 0.0, 1.0))
     dot = jnp.sum(skew * axis, axis=-1, keepdims=True)
     sign = jnp.where(dot < 0.0, -1.0, 1.0)
     w_pi = axis * sign * theta_pi[..., None]

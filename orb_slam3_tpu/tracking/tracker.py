@@ -94,7 +94,77 @@ class Tracker:
         self._frame_ur = None
         self._frame_depth = None
         self._tracked_lms = None
+        self.loop_closer = None       # optional LoopCloser (attach_loop_closer)
         self._extract = jax.jit(lambda im: orb.extract(im, cfg.orb))
+
+    def attach_loop_closer(self, voc):
+        """Enable place recognition: loop closing, map merging, and
+        relocalization (the reference's LoopClosing thread + KFDB roles)."""
+        from ..graphopt import loop_closer as lc
+
+        self.loop_closer = lc.LoopCloser(voc, self.cfg.kmax)
+
+    # ------------------------------------------------------------------
+    # relocalization (Tracking::Relocalization, Tracking.cc:3609-3761)
+    # ------------------------------------------------------------------
+    def _try_relocalize(self, feats) -> bool:
+        from ..place import recognition, vocab as vocab_mod
+
+        if self.loop_closer is None:
+            return False
+        cfg = self.cfg
+        s = self.map
+        voc = self.loop_closer.voc
+        bow = vocab_mod.bow_vector(voc, feats.descriptors, feats.valid)
+        idx, vals, ok = recognition.reloc_candidates(self.loop_closer.db, bow)
+        L = s.lmax
+        for cand, okc in zip(np.array(idx), np.array(ok)):
+            if not okc:
+                continue
+            cand = int(cand)
+            lm_c = s.kf_feat_lm[cand]
+            has_c = (lm_c >= 0) & s.kf_feat_valid[cand]
+            midx, mdist, mok = matching.search_by_brute_force(
+                feats.descriptors, feats.valid,
+                s.kf_feat_desc[cand], has_c,
+                ratio=0.85, max_dist=matching.TH_LOW,
+            )
+            if int(mok.sum()) < 15:
+                continue
+            lm_rows = jnp.clip(lm_c[midx], 0, L - 1)
+            Xw = s.lm_pos[lm_rows]
+            valid = mok & s.lm_valid[lm_rows]
+            R, t, inl, n_inl = recognition.pnp_ransac(
+                jax.random.PRNGKey(len(self.trajectory)), cfg.kind, cfg.K,
+                feats.xy, Xw, valid,
+            )
+            if int(n_inl) < 20:
+                continue
+            # refine with motion-only BA against the matched landmarks
+            inv_sig2 = 1.0 / (
+                self.scale_factors[
+                    jnp.clip(feats.octave, 0, cfg.orb.n_levels - 1)
+                ]
+                ** 2
+            )
+            R, t, inl2, n2 = track_mod.pose_optimize(
+                cfg.kind, cfg.K, R, t, feats.xy, Xw, inv_sig2, inl
+            )
+            if int(n2) < 20:
+                continue
+            self.last = {"R": R, "t": t, "feats": feats,
+                         "ts": self.last["ts"] if self.last else 0.0}
+            self.state = OK
+            self.lost_count = 0
+            self.velocity = None
+            self._tracked_lms = None
+            # adopt the candidate's map as active if different
+            if int(s.kf_map_id[cand]) != int(s.active_map):
+                self.map = dataclasses.replace(
+                    s, active_map=s.kf_map_id[cand]
+                )
+            return True
+        return False
 
     # ------------------------------------------------------------------
     def process(self, img, timestamp: float, img_right=None, depth_map=None):
@@ -335,6 +405,16 @@ class Tracker:
             self.last = {"R": R_pred, "t": t_pred, "feats": feats, "ts": timestamp}
             self.velocity = None
             self._tracked_lms = None
+            # relocalize against the keyframe database (Tracking.cc:1981-2012)
+            if self._try_relocalize(feats):
+                return True
+            # mature map + persistent loss -> new map in the Atlas
+            # (Tracking::CreateMapInAtlas, Tracking.cc:2014-2032)
+            if self.state == LOST and int(self.map.n_kf) >= 10:
+                self.map = atlas_ops.create_map(self.map)
+                self.state = NOT_INITIALIZED
+                self.init_ref = None
+                self.last_kf_row = -1
             return False
         self.lost_count = 0
         self.state = OK
@@ -487,6 +567,20 @@ class Tracker:
         s = local_mapper.cull_landmarks(s)
         s = atlas_state.update_landmark_stats(s)
         self.map = s
+
+        # loop / merge detection on the fresh keyframe
+        if self.loop_closer is not None:
+            self.map, closed = self.loop_closer.on_keyframe(
+                self.map, kf, cfg.kind, cfg.K
+            )
+            if closed:
+                s = self.map
+                # pose may have been corrected; refresh tracking state
+                self.last["R"] = s.kf_R[kf]
+                self.last["t"] = s.kf_t[kf]
+                self.velocity = None
+                self._tracked_lms = None
+        s = self.map
         # refresh current pose from the optimized KF
         self.last["R"] = s.kf_R[kf]
         self.last["t"] = s.kf_t[kf]

@@ -1,0 +1,131 @@
+"""The public session facade — the `System` class equivalent.
+
+Mirrors the reference's top-level API (`/root/reference/include/System.h:
+105-198` / `src/System.cc`): construct with settings + sensor, feed frames
+via track_monocular/track_stereo/track_rgbd, toggle localization-only mode,
+reset, save/load the Atlas, export trajectories, query tracking state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from ..place import vocab as vocab_mod
+from ..tracking import tracker as trk
+from . import checkpoint, settings as settings_mod, trajectory
+
+
+class System:
+    MONOCULAR = "mono"
+    STEREO = "stereo"
+    RGBD = "rgbd"
+
+    def __init__(self, settings_path: Optional[str] = None,
+                 sensor: str = "mono",
+                 vocabulary: Optional[vocab_mod.Vocabulary] = None,
+                 config: Optional[trk.TrackerConfig] = None,
+                 atlas_path: Optional[str] = None):
+        """settings_path: a reference-format YAML (System ctor reads the
+        settings file, System.cc:70-85); or pass a TrackerConfig directly.
+        vocabulary enables place recognition (loop closing, relocalization,
+        map merging). atlas_path loads a previous session's Atlas
+        (System::LoadAtlas, System.cc:1445)."""
+        if config is None:
+            if settings_path is None:
+                raise ValueError("need settings_path or config")
+            s = settings_mod.load_settings(settings_path, sensor)
+            config = settings_mod.to_tracker_config(s)
+        self.tracker = trk.Tracker(config)
+        self.vocabulary = vocabulary
+        if vocabulary is not None:
+            self.tracker.attach_loop_closer(vocabulary)
+        self.localization_only = False
+        if atlas_path is not None:
+            state, extra = checkpoint.load_atlas(atlas_path, vocabulary)
+            self.tracker.map = state
+            # resume = localize + extend against the loaded maps
+            # (System.cc:171: fresh active map on load)
+            from ..atlas import ops as atlas_ops
+
+            self.tracker.map = atlas_ops.create_map(self.tracker.map)
+
+    # ------------------------------------------------------------------
+    def track_monocular(self, img, timestamp: float):
+        """System::TrackMonocular (System.cc:399)."""
+        self.tracker.process(img, timestamp)
+        return self.current_pose()
+
+    def track_stereo(self, img_left, img_right, timestamp: float):
+        """System::TrackStereo (System.cc:244)."""
+        self.tracker.process(img_left, timestamp, img_right=img_right)
+        return self.current_pose()
+
+    def track_rgbd(self, img, depth, timestamp: float):
+        """System::TrackRGBD (System.cc:328)."""
+        self.tracker.process(img, timestamp, depth_map=depth)
+        return self.current_pose()
+
+    # ------------------------------------------------------------------
+    def current_pose(self):
+        """Latest Tcw estimate (R, t) or None before initialization."""
+        if self.tracker.last is None:
+            return None
+        return np.array(self.tracker.last["R"]), np.array(self.tracker.last["t"])
+
+    def tracking_state(self) -> int:
+        """System::GetTrackingState (System.h:160)."""
+        return self.tracker.state
+
+    def is_lost(self) -> bool:
+        return self.tracker.state in (trk.RECENTLY_LOST, trk.LOST)
+
+    def activate_localization_mode(self):
+        """System::ActivateLocalizationMode (System.cc:409): tracking
+        continues, mapping stops (no new keyframes)."""
+        self.localization_only = True
+        self.tracker.cfg.kf_max_frames = 10 ** 9
+
+    def deactivate_localization_mode(self):
+        self.localization_only = False
+        self.tracker.cfg.kf_max_frames = 5
+
+    def reset(self):
+        """System::Reset: drop everything and start a fresh Atlas."""
+        cfg = self.tracker.cfg
+        self.tracker = trk.Tracker(cfg)
+        if self.vocabulary is not None:
+            self.tracker.attach_loop_closer(self.vocabulary)
+
+    # ------------------------------------------------------------------
+    def save_trajectory_tum(self, path: str):
+        ts, R, t, ok = self.tracker.poses()
+        trajectory.save_tum(path, ts, R, t, ok)
+
+    def save_trajectory_euroc(self, path: str):
+        ts, R, t, ok = self.tracker.poses()
+        trajectory.save_euroc(path, ts, R, t, ok)
+
+    def save_trajectory_kitti(self, path: str):
+        ts, R, t, ok = self.tracker.poses()
+        trajectory.save_kitti(path, ts, R, t, ok)
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        """System::SaveKeyFrameTrajectoryTUM (System.cc:884)."""
+        s = self.tracker.map
+        kv = np.array(s.kf_valid)
+        trajectory.save_tum(
+            path,
+            np.array(s.kf_timestamp)[kv],
+            np.array(s.kf_R)[kv],
+            np.array(s.kf_t)[kv],
+        )
+
+    def save_atlas(self, path: str):
+        checkpoint.save_atlas(path, self.tracker.map, self.vocabulary)
+
+    def shutdown(self):
+        """System::Shutdown (System.cc:515) — nothing asynchronous to join
+        in this design; kept for API parity."""

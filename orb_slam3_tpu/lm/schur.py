@@ -210,8 +210,14 @@ def _schur_solve(p: BAProblem, lam):
     S = S + lam * jnp.eye(KC)
     rhs = (-gc.reshape(KC) + b_fill) * m
 
+    # the reduced system can mix visual (~1e-3) and inertial (~1) curvatures
+    # (g2o runs double); a Cholesky solve + two rounds of f32 iterative
+    # refinement recovers the stiff-valley directions without paying for f64
     Lc, low = jax.scipy.linalg.cho_factor(S, lower=True)
     dc = jax.scipy.linalg.cho_solve((Lc, low), rhs)  # [KC]
+    for _ in range(2):
+        resid = rhs - S @ dc
+        dc = dc + jax.scipy.linalg.cho_solve((Lc, low), resid)
 
     # back-substitute landmarks: dl = Hll_inv (-gl - Hlc dc)
     Hlc_dc = jnp.einsum("lkd,k->ld", B2, dc)

@@ -31,19 +31,22 @@ def simulate_vi(n_kf=6, kf_dt=0.5, hz=200, seed=0):
     kf_states = [(R.copy(), p.copy(), v.copy())]
     measurements = [[]]
     per_kf = int(kf_dt * hz)
+    sub = 6  # fine substeps for ground truth; measurement taken at midpoint
     for i in range(n):
         t = i * dt
-        a_w = acc_w_fn(t)
-        w_b = omega_fn(t)
-        measurements[-1].append((R.T @ (a_w - g), w_b, dt))
-        # integrate fine
-        sub = 5
+        R_mid = None
         for k in range(sub):
             ts = t + k * dt / sub
+            if k == sub // 2:
+                R_mid = R.copy()
             a = acc_w_fn(ts)
             p = p + v * (dt / sub) + 0.5 * a * (dt / sub) ** 2
             v = v + a * (dt / sub)
             R = R @ np.array(lie.so3_exp(jnp.asarray(omega_fn(ts) * dt / sub)))
+        # midpoint-sampled measurement (2nd-order accurate w.r.t. the
+        # piecewise-constant preintegration model)
+        tm = t + 0.5 * dt
+        measurements[-1].append((R_mid.T @ (acc_w_fn(tm) - g), omega_fn(tm), dt))
         if (i + 1) % per_kf == 0:
             kf_states.append((R.copy(), p.copy(), v.copy()))
             if i + 1 < n:

@@ -184,7 +184,13 @@ def apply_scaled_rotation(s: MapState, Ryw, scale, map_id) -> MapState:
     new_x = jnp.where(
         lm_in[:, None], scale * jnp.einsum("ij,lj->li", Ryw, s.lm_pos), s.lm_pos
     )
-    return dataclasses.replace(s, kf_R=new_R, kf_t=new_t, kf_vel=new_v, lm_pos=new_x)
+    # scale-invariance envelopes are distances — they scale with the gauge
+    new_min = jnp.where(lm_in, scale * s.lm_min_dist, s.lm_min_dist)
+    new_max = jnp.where(lm_in, scale * s.lm_max_dist, s.lm_max_dist)
+    return dataclasses.replace(
+        s, kf_R=new_R, kf_t=new_t, kf_vel=new_v, lm_pos=new_x,
+        lm_min_dist=new_min, lm_max_dist=new_max,
+    )
 
 
 def create_map(s: MapState) -> MapState:

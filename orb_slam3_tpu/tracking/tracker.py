@@ -39,8 +39,11 @@ class TrackerConfig:
     K: jnp.ndarray = None  # camera params [8]
     kind: int = cam.PINHOLE
     img_wh: tuple = (640, 480)
-    sensor: str = "mono"            # "mono" | "stereo" | "rgbd"
+    sensor: str = "mono"            # mono|stereo|rgbd[-imu]
     bf: float = 0.0                 # baseline * fx (stereo/rgbd)
+    imu_noise: dict = dataclasses.field(default_factory=lambda: dict(
+        noise_gyro=1.7e-3, noise_acc=2e-2, walk_gyro=1.9e-4, walk_acc=3e-2))
+    Tbc: np.ndarray = None          # body-from-camera extrinsics [4,4]
     min_depth: float = 0.1
     th_depth: float = 40.0          # close-point threshold (Settings thDepth)
     depth_factor: float = 1.0       # RGBD depth map scaling
@@ -95,6 +98,14 @@ class Tracker:
         self._frame_depth = None
         self._tracked_lms = None
         self.loop_closer = None       # optional LoopCloser (attach_loop_closer)
+        self.base_sensor = cfg.sensor.split("-")[0]
+        self.use_imu = cfg.sensor.endswith("-imu")
+        self.imu = None
+        if self.use_imu:
+            from . import vi_tracker
+
+            Tbc = cfg.Tbc if cfg.Tbc is not None else np.eye(4, dtype=np.float32)
+            self.imu = vi_tracker.ImuState(cfg.imu_noise, Tbc)
         self._extract = jax.jit(lambda im: orb.extract(im, cfg.orb))
 
     def attach_loop_closer(self, voc):
@@ -167,16 +178,20 @@ class Tracker:
         return False
 
     # ------------------------------------------------------------------
-    def process(self, img, timestamp: float, img_right=None, depth_map=None):
-        """Track one frame. For sensor="stereo" pass img_right; for
-        sensor="rgbd" pass depth_map (System::TrackStereo/TrackRGBD/
-        TrackMonocular routing, System.cc:244/328/399)."""
+    def process(self, img, timestamp: float, img_right=None, depth_map=None,
+                imu=None):
+        """Track one frame. For stereo pass img_right; for rgbd pass
+        depth_map; for *-imu sensors pass imu=[M,7] rows (t,gx,gy,gz,ax,ay,az)
+        measured since the previous frame (System::TrackX routing,
+        System.cc:244/328/399; GrabImuData, Tracking.cc:1618)."""
         from ..frontend import stereo as stereo_mod
 
+        if self.imu is not None:
+            self.imu.ingest(np.asarray(imu) if imu is not None else None)
         img = jnp.asarray(img, jnp.float32)
         feats = self._extract(img)
         ur = depth = None
-        if self.cfg.sensor == "stereo":
+        if self.base_sensor == "stereo":
             feats_r = self._extract(jnp.asarray(img_right, jnp.float32))
             ur, depth, _ = stereo_mod.match_stereo(
                 feats.xy, feats.octave, feats.descriptors, feats.valid,
@@ -184,7 +199,7 @@ class Tracker:
                 img, jnp.asarray(img_right, jnp.float32),
                 self.scale_factors, self.cfg.bf, self.cfg.min_depth,
             )
-        elif self.cfg.sensor == "rgbd":
+        elif self.base_sensor == "rgbd":
             ur, depth, _ = stereo_mod.depth_from_rgbd(
                 feats.xy, jnp.asarray(depth_map, jnp.float32),
                 self.cfg.bf, self.cfg.depth_factor,
@@ -193,7 +208,7 @@ class Tracker:
         self._frame_depth = depth
 
         if self.state == NOT_INITIALIZED:
-            if self.cfg.sensor == "mono":
+            if self.base_sensor == "mono":
                 ok = self._try_initialize(feats, timestamp)
             else:
                 ok = self._initialize_with_depth(feats, ur, depth, timestamp)
@@ -354,13 +369,31 @@ class Tracker:
         cfg = self.cfg
         s = self.map
 
-        # pose prediction by motion model (Tracking.cc:2862-2877)
+        # pose prediction: IMU if initialized (PredictStateIMU,
+        # Tracking.cc:1738), else constant-velocity motion model (:2862-2877)
         R_last, t_last = self.last["R"], self.last["t"]
-        if self.velocity is not None:
+        R_pred, t_pred = R_last, t_last
+        predicted = False
+        if self.imu is not None and self.imu.initialized:
+            from . import vi_tracker
+            from ..imu import preintegration as pre_mod
+
+            pint = self.imu.preint_frame()
+            if pint is not None:
+                Rb, tb = vi_tracker.cam_to_body(
+                    R_last, t_last, self.imu.Rbc, self.imu.tbc
+                )
+                Rb2, tb2, v2 = pre_mod.predict_state(
+                    pint, Rb, tb, self.imu.vel, self.imu.bg, self.imu.ba
+                )
+                R_pred, t_pred = vi_tracker.body_to_cam(
+                    Rb2, tb2, self.imu.Rbc, self.imu.tbc
+                )
+                self.imu.vel = v2
+                predicted = True
+        if not predicted and self.velocity is not None:
             Rv, tv = self.velocity
             R_pred, t_pred = lie.se3_mul(Rv, tv, R_last, t_last)
-        else:
-            R_pred, t_pred = R_last, t_last
 
         in_map = s.lm_valid & (s.lm_map_id == s.active_map)
 
@@ -455,7 +488,7 @@ class Tracker:
             self.scale_factors[jnp.clip(feats.octave[idx], 0, cfg.orb.n_levels - 1)]
             ** 2
         )
-        if cfg.sensor == "mono" or self._frame_ur is None:
+        if self.base_sensor == "mono" or self._frame_ur is None:
             R, t, inlier, n = track_mod.pose_optimize(
                 cfg.kind, cfg.K, R0, t0, uv, s.lm_pos, inv_sig2, ok
             )
@@ -505,10 +538,12 @@ class Tracker:
             prev=jnp.asarray(self.last_kf_row, jnp.int32),
         )
         kf = int(kf)
+        if self.imu is not None:
+            self.imu.commit_keyframe(kf, timestamp)
 
         # stereo/RGBD: create landmarks directly from depth for unbound close
         # points (CreateNewKeyFrame, Tracking.cc:3247-3331)
-        if cfg.sensor != "mono" and self._frame_depth is not None:
+        if self.base_sensor != "mono" and self._frame_depth is not None:
             depth = self._frame_depth
             unbound = feats.valid & (self._feat_lm < 0)
             close = (depth > cfg.min_depth) & (depth < cfg.th_depth) & unbound
@@ -529,8 +564,8 @@ class Tracker:
         # Depth sensors already created close points above; triangulating the
         # depth-rejected leftovers (mostly occlusion boundaries) poisons the
         # map, so only mono triangulates here in round 1.
-        prev_rows = [self.last_kf_row] if cfg.sensor == "mono" else []
-        if cfg.sensor == "mono" and int(s.n_kf) >= 3:
+        prev_rows = [self.last_kf_row] if self.base_sensor == "mono" else []
+        if self.base_sensor == "mono" and int(s.n_kf) >= 3:
             prev_rows.append(int(s.n_kf) - 3)  # second-previous KF
         for prev in prev_rows:
             Xw, f1, f2, accept = local_mapper.triangulate_pair(
@@ -558,15 +593,33 @@ class Tracker:
         rows = np.arange(n_kf - n_rows, n_kf)
         n_fixed = max(2, n_rows - w) if n_rows > 2 else 1
         rows = np.concatenate([rows, np.full((w + 4) - len(rows), rows[-1])])
-        s, _ = local_mapper.local_ba(
-            cfg.kind, cfg.K, s, jnp.asarray(rows, jnp.int32),
-            n_fixed=n_fixed, window=w + 4, iters=8,
-            scale_factors=self.scale_factors,
-            stereo=(cfg.sensor != "mono"), bf=cfg.bf,
-        )
+        ran_vi_ba = False
+        if self.imu is not None and self.imu.initialized:
+            from . import vi_tracker
+
+            self.map = s
+            ran_vi_ba = vi_tracker.run_vi_local_ba(self, rows, n_fixed)
+            s = self.map
+        if not ran_vi_ba:
+            s, _ = local_mapper.local_ba(
+                cfg.kind, cfg.K, s, jnp.asarray(rows, jnp.int32),
+                n_fixed=n_fixed, window=w + 4, iters=8,
+                scale_factors=self.scale_factors,
+                stereo=(self.base_sensor != "mono"), bf=cfg.bf,
+            )
         s = local_mapper.cull_landmarks(s)
         s = atlas_state.update_landmark_stats(s)
         self.map = s
+
+        # inertial initialization once enough baseline exists
+        # (LocalMapping::InitializeIMU trigger, LocalMapping.cc:181-187)
+        if self.imu is not None and not self.imu.initialized:
+            from . import vi_tracker
+
+            if vi_tracker.try_initialize_imu(self):
+                s = self.map
+                self.last["R"] = s.kf_R[kf]
+                self.last["t"] = s.kf_t[kf]
 
         # loop / merge detection on the fresh keyframe
         if self.loop_closer is not None:

@@ -1,0 +1,288 @@
+"""Visual-inertial extensions of the tracker (mixin-style helpers).
+
+Implements the IMU side of Tracking (`/root/reference/src/Tracking.cc`):
+- per-frame IMU ingestion + preintegration from the last frame and from the
+  last keyframe (`GrabImuData:1618`, `PreintegrateIMU:1624`)
+- IMU pose prediction (`PredictStateIMU:1738`)
+- the inertial initialization trigger + gauge transform
+  (`LocalMapping::InitializeIMU:1173`, `Map::ApplyScaledRotation:252`)
+- visual-inertial local BA dispatch after initialization
+  (`LocalInertialBA` via imu/vi_ba.py)
+
+Body/camera frames: MapState stores camera poses Tcw; the body pose is
+Twb = Tcw^{-1} * Tcb with the fixed extrinsics Tbc (IMU::Calib, ImuTypes.h:92).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..atlas import ops as atlas_ops
+from ..imu import factors, initialization, preintegration as pre, vi_ba
+from ..ops import lie
+
+IMU_BUF = 512  # max samples per keyframe interval
+
+
+def cam_to_body(R_cw, t_cw, Rbc, tbc):
+    """Tcw -> Twb given body-to-camera extrinsics Tbc (X_c = Rbc... NOTE:
+    reference convention: Tbc maps camera to body: X_b = Rbc X_c + tbc)."""
+    R_wc, t_wc = lie.se3_inv(R_cw, t_cw)
+    # Twb = Twc * Tcb ; Tcb = Tbc^{-1}
+    Rcb, tcb = lie.se3_inv(Rbc, tbc)
+    return lie.se3_mul(R_wc, t_wc, Rcb, tcb)
+
+
+def body_to_cam(R_wb, t_wb, Rbc, tbc):
+    """Twb -> Tcw."""
+    R_wc, t_wc = lie.se3_mul(R_wb, t_wb, Rbc, tbc)
+    return lie.se3_inv(R_wc, t_wc)
+
+
+class ImuState:
+    """Host-side IMU bookkeeping for the tracker."""
+
+    def __init__(self, noise: dict, Tbc: np.ndarray):
+        self.noise = noise
+        self.Rbc = jnp.asarray(Tbc[:3, :3])
+        self.tbc = jnp.asarray(Tbc[:3, 3])
+        self.initialized = False
+        self.bg = jnp.zeros(3)
+        self.ba = jnp.zeros(3)
+        self.vel = jnp.zeros(3)          # current body velocity (world)
+        self.kf_buffers = {}             # kf_row -> (accs, gyros, dts) since PREV kf
+        self._cur = ([], [], [])         # accumulating since last KF
+        self._frame_meas = None          # measurements since last frame
+        self.first_kf_ts = None
+
+    # ------------------------------------------------------------------
+    def ingest(self, imu: np.ndarray):
+        """imu rows: [t, gx, gy, gz, ax, ay, az] since the previous frame
+        (the reference's vImuMeas contract)."""
+        if imu is None or len(imu) == 0:
+            self._frame_meas = None
+            return
+        ts = imu[:, 0]
+        dts = np.diff(ts, prepend=ts[0] - (ts[1] - ts[0] if len(ts) > 1 else 0.005))
+        gyro = imu[:, 1:4]
+        acc = imu[:, 4:7]
+        self._frame_meas = (acc, gyro, dts)
+        a, g, d = self._cur
+        a.append(acc)
+        g.append(gyro)
+        d.append(dts)
+
+    def preint_frame(self):
+        """Preintegration over the measurements since the last frame."""
+        if self._frame_meas is None:
+            return None
+        acc, gyro, dts = self._frame_meas
+        return pre.integrate(
+            jnp.asarray(acc, jnp.float32), jnp.asarray(gyro, jnp.float32),
+            jnp.asarray(dts, jnp.float32), jnp.ones(len(dts)),
+            self.bg, self.ba, **self.noise,
+        )
+
+    def commit_keyframe(self, kf_row: int, timestamp: float):
+        """Snapshot the since-last-KF buffer for this keyframe interval."""
+        a, g, d = self._cur
+        if a:
+            self.kf_buffers[kf_row] = (
+                np.concatenate(a), np.concatenate(g), np.concatenate(d)
+            )
+        self._cur = ([], [], [])
+        if self.first_kf_ts is None:
+            self.first_kf_ts = timestamp
+
+    def preint_between(self, kf_row: int, bg=None, ba=None):
+        """(Re-)integrate the stored interval ending at kf_row
+        (Preintegrated::Reintegrate on bias updates, ImuTypes.cc:168)."""
+        if kf_row not in self.kf_buffers:
+            return None
+        a, g, d = self.kf_buffers[kf_row]
+        n = len(d)
+        if n > IMU_BUF:
+            a, g, d = a[-IMU_BUF:], g[-IMU_BUF:], d[-IMU_BUF:]
+            n = IMU_BUF
+        pad = IMU_BUF - n
+        return pre.integrate(
+            jnp.asarray(np.pad(a, ((0, pad), (0, 0))), jnp.float32),
+            jnp.asarray(np.pad(g, ((0, pad), (0, 0))), jnp.float32),
+            jnp.asarray(np.pad(d, (0, pad)), jnp.float32),
+            jnp.concatenate([jnp.ones(n), jnp.zeros(pad)]),
+            self.bg if bg is None else bg,
+            self.ba if ba is None else ba,
+            **self.noise,
+        )
+
+
+# ----------------------------------------------------------------------
+# inertial initialization (LocalMapping::InitializeIMU)
+# ----------------------------------------------------------------------
+
+def try_initialize_imu(tracker, min_kfs: int = 5, min_time: float = 1.0):
+    """Run inertial-only MAP + gauge transform when enough baseline exists.
+    Mutates tracker.map and tracker.imu. Returns True on success."""
+    imu = tracker.imu
+    s = tracker.map
+    n_kf = int(s.n_kf)
+    if imu.initialized or n_kf < min_kfs or imu.first_kf_ts is None:
+        return False
+    ts_now = float(s.kf_timestamp[n_kf - 1])
+    if ts_now - imu.first_kf_ts < min_time:
+        return False
+
+    # consecutive-KF preintegrations (skip row 0 — no interval before it)
+    rows = [r for r in range(1, n_kf) if r in imu.kf_buffers]
+    if len(rows) < min_kfs - 1:
+        return False
+    preints = [imu.preint_between(r) for r in rows]
+
+    # body poses of the chain KFs
+    chain = [rows[0] - 1] + rows
+    R_wb, t_wb = [], []
+    for r in chain:
+        Rb, tb = cam_to_body(s.kf_R[r], s.kf_t[r], imu.Rbc, imu.tbc)
+        R_wb.append(Rb)
+        t_wb.append(tb)
+    R_wb = jnp.stack(R_wb)
+    t_wb = jnp.stack(t_wb)
+
+    fix_scale = tracker.cfg.sensor in ("stereo-imu", "rgbd-imu")
+    out = initialization.inertial_only_optimization(
+        R_wb, t_wb, preints, fix_scale=fix_scale,
+    )
+    scale = float(out["scale"])
+    if scale <= 1e-2:
+        return False
+
+    # gauge transform: rotate gravity onto -z and make the map metric
+    # (ApplyScaledRotation + UpdateFrameIMU, LocalMapping.cc:1281-1295)
+    Ryw = out["Rwg"].T
+    s2 = atlas_ops.apply_scaled_rotation(
+        s, Ryw, jnp.asarray(scale), s.active_map
+    )
+    # velocities into the new frame; store on the chain KFs
+    v_new = scale * jnp.einsum("ij,kj->ki", Ryw, out["velocities"])
+    kf_vel = s2.kf_vel
+    for i, r in enumerate(chain):
+        kf_vel = kf_vel.at[r].set(v_new[i])
+    s2 = dataclasses.replace(
+        s2,
+        kf_vel=kf_vel,
+        kf_bg=jnp.tile(out["bg"][None], (s2.kmax, 1)),
+        kf_ba=jnp.tile(out["ba"][None], (s2.kmax, 1)),
+    )
+    tracker.map = s2
+    imu.bg = out["bg"]
+    imu.ba = out["ba"]
+    imu.vel = v_new[-1]
+    imu.initialized = True
+    # current tracked pose also transforms
+    if tracker.last is not None:
+        R_l, t_l = tracker.last["R"], tracker.last["t"]
+        tracker.last["R"] = R_l @ Ryw.T
+        tracker.last["t"] = scale * t_l
+    tracker.velocity = None
+    return True
+
+
+# ----------------------------------------------------------------------
+# VI local BA dispatch
+# ----------------------------------------------------------------------
+
+def run_vi_local_ba(tracker, window_rows: np.ndarray, n_fixed: int):
+    """LocalInertialBA over the window (consecutive KF rows required for the
+    inertial chain)."""
+    from ..atlas.state import NO_LM
+
+    cfg = tracker.cfg
+    imu = tracker.imu
+    s = tracker.map
+    rows = [int(r) for r in window_rows]
+    W = len(rows)
+    L = s.lmax
+    Fc = s.fmax
+
+    Rwb, twb = jax.vmap(
+        lambda R, t: cam_to_body(R, t, imu.Rbc, imu.tbc)
+    )(s.kf_R[jnp.asarray(rows)], s.kf_t[jnp.asarray(rows)])
+
+    # inertial intervals between consecutive window rows
+    preints = []
+    ok_chain = []
+    for i in range(W - 1):
+        if rows[i + 1] == rows[i] + 1:
+            p = imu.preint_between(rows[i + 1], bg=s.kf_bg[rows[i]],
+                                   ba=s.kf_ba[rows[i]])
+            preints.append(p)
+            ok_chain.append(p is not None)
+        else:
+            preints.append(None)
+            ok_chain.append(False)
+    if not any(ok_chain):
+        return False
+    proto = next(p for p in preints if p is not None)
+    datas, infos, rws = [], [], []
+    for p in preints:
+        q = p if p is not None else proto
+        d, info = factors.preint_edge_data(q)
+        datas.append(d)
+        infos.append(info)
+        rw = jnp.zeros((6, 6))
+        rw = rw.at[:3, :3].set(factors.gyro_rw_info(q))
+        rw = rw.at[3:, 3:].set(factors.acc_rw_info(q))
+        rws.append(rw)
+    preint_data = jax.tree.map(lambda *xs: jnp.stack(xs), *datas)
+    preint_info = jnp.stack(infos)
+    rw_info = jnp.stack(rws)
+
+    # visual edges from the window
+    rows_j = jnp.asarray(rows, jnp.int32)
+    lm_idx0 = s.kf_feat_lm[rows_j]
+    feat_ok = s.kf_feat_valid[rows_j] & (lm_idx0 >= 0)
+    lm_safe = jnp.clip(lm_idx0, 0, L - 1)
+    obs_ok = (feat_ok & s.lm_valid[lm_safe]).reshape(-1)
+    cam_idx = jnp.broadcast_to(jnp.arange(W)[:, None], (W, Fc)).reshape(-1)
+    lm_edge = lm_safe.reshape(-1)
+    uv = s.kf_feat_xy[rows_j].reshape(-1, 2)
+    oct_ = s.kf_feat_octave[rows_j].reshape(-1)
+    inv_sig2 = 1.0 / (
+        tracker.scale_factors[jnp.clip(oct_, 0, cfg.orb.n_levels - 1)] ** 2
+    )
+    observed = jnp.zeros((L,), bool).at[lm_edge].max(obs_ok)
+
+    cam_fixed = jnp.arange(W) < n_fixed
+    src = jnp.arange(W - 1, dtype=jnp.int32)
+    chain_valid = jnp.asarray(ok_chain)
+
+    Ro, to, vo, bgo, bao, Xo, stats = vi_ba.local_inertial_ba(
+        cfg.kind, cfg.K, imu.Rbc, imu.tbc,
+        Rwb, twb, s.kf_vel[rows_j], s.kf_bg[rows_j], s.kf_ba[rows_j],
+        cam_fixed,
+        s.lm_pos, ~observed,
+        cam_idx, lm_edge, uv, inv_sig2, obs_ok,
+        preint_data, preint_info, rw_info,
+        src, src + 1, chain_valid,
+        iters=6,
+    )
+    R_cw, t_cw = jax.vmap(
+        lambda R, t: body_to_cam(R, t, imu.Rbc, imu.tbc)
+    )(Ro, to)
+    tracker.map = dataclasses.replace(
+        s,
+        kf_R=s.kf_R.at[rows_j].set(R_cw),
+        kf_t=s.kf_t.at[rows_j].set(t_cw),
+        kf_vel=s.kf_vel.at[rows_j].set(vo),
+        kf_bg=s.kf_bg.at[rows_j].set(bgo),
+        kf_ba=s.kf_ba.at[rows_j].set(bao),
+        lm_pos=Xo,
+    )
+    tracker.imu.bg = bgo[-1]
+    tracker.imu.ba = bao[-1]
+    tracker.imu.vel = vo[-1]
+    return True

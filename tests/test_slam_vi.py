@@ -1,0 +1,92 @@
+"""End-to-end monocular-inertial SLAM: visual-only init at arbitrary scale,
+then IMU initialization makes the map metric (config #3 of BASELINE.md)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam3_tpu.api import evaluate
+from orb_slam3_tpu.frontend import camera as cam
+from orb_slam3_tpu.frontend import orb as orb_mod
+from orb_slam3_tpu.imu import preintegration as pre
+from orb_slam3_tpu.ops import lie
+from orb_slam3_tpu.tracking import tracker as trk
+from synthetic_scene import PlaneScene
+
+K = cam.make_pinhole(350.0, 350.0, 256.0, 192.0)
+IMG_WH = (512, 384)
+
+
+def vi_render_trajectory(n_frames=40, fps=10.0, hz=200.0, seed=0):
+    """Body trajectory via the exact discrete IMU recursion (camera = body,
+    z forward, gravity -z world). Returns per-frame (R_cw, t_cw) and the
+    per-frame IMU packet [M, 7]."""
+    g = np.array([0.0, 0.0, -pre.GRAVITY])
+    dt = 1.0 / hz
+    per_frame = int(hz / fps)
+    R = np.eye(3)
+    v = np.zeros(3)
+    p = np.zeros(3)
+    R_cw, t_cw, imu_packets = [], [], []
+    t_abs = 0.0
+    for f in range(n_frames):
+        R_cw.append(R.T.copy())
+        t_cw.append((-R.T @ p).copy())
+        rows = []
+        for k in range(per_frame):
+            t = t_abs + k * dt
+            # desired world acceleration: spin up to +x drift, then wiggle
+            ramp = min(t / 0.5, 1.0)
+            a_w = np.array(
+                [
+                    0.7 * (1.0 - ramp) + 0.35 * np.sin(1.9 * t),
+                    0.25 * np.cos(1.3 * t),
+                    0.18 * np.sin(0.9 * t),
+                ]
+            )
+            w_b = np.array(
+                [0.05 * np.sin(0.7 * t), 0.06 * np.cos(0.9 * t), 0.04]
+            )
+            a_b = R.T @ (a_w - g)
+            rows.append(np.concatenate([[t + dt], w_b, a_b]))
+            # exact discrete propagation (matches preintegration model)
+            p = p + v * dt + 0.5 * a_w * dt * dt
+            v = v + a_w * dt
+            R = R @ np.array(lie.so3_exp(jnp.asarray(w_b * dt)))
+        t_abs += per_frame * dt
+        imu_packets.append(np.array(rows))
+    return np.stack(R_cw), np.stack(t_cw), imu_packets
+
+
+def test_mono_inertial_end_to_end():
+    scene = PlaneScene(np.array(K), img_wh=IMG_WH, two_planes=True, seed=3)
+    n = 40
+    R_gt, t_gt, imu_packets = vi_render_trajectory(n)
+    cfg = trk.TrackerConfig(
+        K=K, img_wh=IMG_WH, sensor="mono-imu",
+        orb=orb_mod.OrbConfig(n_features=600, n_levels=4),
+        kmax=64, lmax=8192, local_window=6, kf_max_frames=3,
+    )
+    t = trk.Tracker(cfg)
+    for i in range(n):
+        img = scene.render(R_gt[i], t_gt[i])
+        t.process(img, (i + 1) * (1.0 / 10.0), imu=imu_packets[i])
+
+    ts, R, tt, ok = t.poses()
+    assert ok.sum() >= 0.6 * n, f"tracked {ok.sum()}/{n}"
+    assert t.imu.initialized, "IMU never initialized"
+
+    est_c = evaluate.camera_centers(R[ok], tt[ok])
+    gt_c = evaluate.camera_centers(R_gt[ok], t_gt[ok])
+    # scale must now be metric: alignment WITH scale should find s ~= 1
+    rmse_s, nmatch, s_fit = evaluate.ate_rmse(
+        ts[ok], est_c, ts[ok], gt_c, with_scale=True
+    )
+    assert abs(s_fit - 1.0) < 0.25, f"metric scale off: {s_fit:.3f}"
+    # and the unaligned-scale ATE must be reasonable
+    rmse, _, _ = evaluate.ate_rmse(ts[ok], est_c, ts[ok], gt_c, with_scale=False)
+    assert rmse < 0.5, f"VI ATE {rmse:.3f}"

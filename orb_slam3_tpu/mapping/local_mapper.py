@@ -283,3 +283,51 @@ def cull_landmarks(s: MapState, min_found_ratio: float = 0.25,
     )
     rows = jnp.arange(L, dtype=jnp.int32)
     return atlas_ops.invalidate_landmarks(s, rows, bad)
+
+
+def cull_keyframes(s: MapState, window_rows, min_redundancy: float = 0.9,
+                   protect_last: int = 2) -> MapState:
+    """KeyFrameCulling (`/root/reference/src/LocalMapping.cc:902-1170`): a
+    keyframe is redundant if >= 90% of its bound landmarks are observed by
+    at least 3 other keyframes; redundant KFs are invalidated, their
+    observations detached, and their children re-parented.
+
+    Only considers `window_rows` (the recent window, like the reference's
+    covisible-of-current scope); the newest `protect_last` rows are kept.
+    """
+    L = s.lmax
+    K = s.kmax
+    obs_cnt = jnp.zeros((L,), jnp.int32).at[
+        jnp.clip(s.kf_feat_lm, 0, L - 1)
+    ].add(((s.kf_feat_lm >= 0) & s.kf_feat_valid).astype(jnp.int32))
+
+    lm = s.kf_feat_lm[window_rows]                       # [W, F]
+    bound = (lm >= 0) & s.kf_feat_valid[window_rows]
+    cnt = obs_cnt[jnp.clip(lm, 0, L - 1)]
+    redundant_obs = bound & (cnt >= 4)                    # >=3 OTHER observers
+    n_bound = jnp.sum(bound, axis=1)
+    frac = jnp.sum(redundant_obs, axis=1) / jnp.maximum(n_bound, 1)
+
+    n_kf = s.n_kf
+    protect = (window_rows >= n_kf - protect_last) | (window_rows <= 1)
+    kill = (frac > min_redundancy) & (n_bound > 10) & ~protect
+    kill = kill & s.kf_valid[window_rows]
+    # never kill two adjacent window KFs in one pass (avoid graph holes)
+    kill = kill & jnp.concatenate([jnp.asarray([True]), ~kill[:-1]])
+
+    kill_rows = jnp.where(kill, window_rows, K)
+    kf_valid = s.kf_valid.at[kill_rows].set(False, mode="drop")
+    # detach observations of killed KFs
+    killed_mask = jnp.zeros((K,), bool).at[kill_rows].set(True, mode="drop")
+    detach = killed_mask[:, None] & (s.kf_feat_lm >= 0)
+    kf_feat_lm = jnp.where(detach, NO_LM, s.kf_feat_lm)
+    # re-parent children of killed KFs to the killed KF's parent
+    parent_of = s.kf_parent
+    killed_parent = jnp.where(
+        killed_mask[jnp.clip(parent_of, 0, K - 1)] & (parent_of >= 0),
+        parent_of[jnp.clip(parent_of, 0, K - 1)],
+        parent_of,
+    )
+    return dataclasses.replace(
+        s, kf_valid=kf_valid, kf_feat_lm=kf_feat_lm, kf_parent=killed_parent
+    )

@@ -1,0 +1,58 @@
+"""Per-stage timing instrumentation.
+
+Role of the REGISTER_TIMES harness (`/root/reference/include/Settings.h:24`,
+`Tracking.cc:263-410` PrintTimeStats -> ExecMean.txt): bracket each pipeline
+stage, accumulate per-stage samples, report mean/std. Stage taxonomy kept
+compatible so numbers are comparable with the reference's ExecMean.txt.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+
+import numpy as np
+
+
+class StageTimer:
+    def __init__(self):
+        self.samples = defaultdict(list)
+        self.enabled = True
+
+    @contextlib.contextmanager
+    def stage(self, name: str):
+        if not self.enabled:
+            yield
+            return
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.samples[name].append((time.perf_counter() - t0) * 1000.0)
+
+    def summary(self) -> dict:
+        return {
+            k: {
+                "mean_ms": float(np.mean(v)),
+                "std_ms": float(np.std(v)),
+                "n": len(v),
+            }
+            for k, v in self.samples.items()
+        }
+
+    def print_stats(self, path: str | None = None):
+        """ExecMean.txt-style dump (Tracking::PrintTimeStats)."""
+        lines = ["stage, mean_ms, std_ms, samples"]
+        for k, st in sorted(self.summary().items()):
+            lines.append(
+                f"{k}, {st['mean_ms']:.3f}, {st['std_ms']:.3f}, {st['n']}"
+            )
+        text = "\n".join(lines)
+        if path:
+            with open(path, "w") as f:
+                f.write(text + "\n")
+        return text
+
+
+GLOBAL_TIMER = StageTimer()

@@ -32,8 +32,12 @@ def build_pyramid(img, n_levels: int = 8, scale: float = 1.2):
     shapes = level_shapes(h, w, n_levels, scale)
     levels = [img]
     for lvl in range(1, n_levels):
+        # plain bilinear like the reference's cv::resize INTER_LINEAR
+        # (ORBextractor::ComputePyramid); antialias=True lowers to degenerate
+        # 1-channel convs on TPU (~ms each), antialias=False lowers to two
+        # small matmuls on the MXU
         levels.append(
-            jax.image.resize(img, shapes[lvl], method="bilinear", antialias=True)
+            jax.image.resize(img, shapes[lvl], method="bilinear", antialias=False)
         )
     return levels
 
@@ -46,21 +50,23 @@ def _gauss_kernel1d(ksize: int, sigma: float):
 
 def gaussian_blur(img, ksize: int = 7, sigma: float = 2.0):
     """Separable Gaussian blur with reflect padding, [H, W] -> [H, W].
-    Matches cv::GaussianBlur(…, Size(7,7), 2, 2, BORDER_REFLECT_101)."""
+    Matches cv::GaussianBlur(…, Size(7,7), 2, 2, BORDER_REFLECT_101).
+
+    Implemented as 2x ksize shifted weighted adds (pure VPU elementwise that
+    XLA fuses into one pass) — a 1-channel conv lowers to a degenerate MXU
+    layout on TPU and is ~20x slower at these shapes."""
     k = _gauss_kernel1d(ksize, sigma)
     pad = ksize // 2
     x = jnp.pad(img, ((pad, pad), (0, 0)), mode="reflect")
-    x = jax.lax.conv_general_dilated(
-        x[None, None, :, :],
-        k[None, None, :, None],
-        window_strides=(1, 1),
-        padding="VALID",
-    )[0, 0]
-    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
-    x = jax.lax.conv_general_dilated(
-        x[None, None, :, :],
-        k[None, None, None, :],
-        window_strides=(1, 1),
-        padding="VALID",
-    )[0, 0]
-    return x
+    h = img.shape[0]
+    acc = None
+    for i in range(ksize):
+        term = k[i] * jax.lax.dynamic_slice_in_dim(x, i, h, axis=0)
+        acc = term if acc is None else acc + term
+    x = jnp.pad(acc, ((0, 0), (pad, pad)), mode="reflect")
+    w = img.shape[1]
+    acc = None
+    for i in range(ksize):
+        term = k[i] * jax.lax.dynamic_slice_in_dim(x, i, w, axis=1)
+        acc = term if acc is None else acc + term
+    return acc

@@ -111,11 +111,16 @@ class LoopCloser:
 
         uv1 = s.kf_feat_xy[kf_row]
         uv2 = s.kf_feat_xy[cand][idx]
+        # stereo/RGBD/inertial maps are metric: fix the Sim3 scale
+        # (Sim3Solver bFixScale, LoopClosing.cc mbFixScale)
+        fix_scale = bool(jnp.any(s.kf_feat_ur[kf_row] >= 0)) or bool(
+            jnp.linalg.norm(s.kf_vel[kf_row]) > 0
+        )
         R_s, t_s, s_s, inl, n_inl = sim3_solver.sim3_ransac(
             jax.random.PRNGKey(kf_row), kind, K8,
             X1, X2, valid,
             s.kf_R[kf_row], s.kf_t[kf_row], s.kf_R[cand], s.kf_t[cand],
-            uv1, uv2,
+            uv1, uv2, fix_scale=fix_scale,
         )
         if int(n_inl) < cfg.min_sim3_inliers:
             return None

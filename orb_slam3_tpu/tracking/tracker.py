@@ -26,6 +26,7 @@ from ..frontend import camera as cam
 from ..frontend import matching, orb, two_view
 from ..mapping import fuse, local_mapper
 from ..ops import lie
+from ..utils.timing import GLOBAL_TIMER
 from . import track as track_mod
 
 NOT_INITIALIZED = 0
@@ -189,7 +190,8 @@ class Tracker:
         if self.imu is not None:
             self.imu.ingest(np.asarray(imu) if imu is not None else None)
         img = jnp.asarray(img, jnp.float32)
-        feats = self._extract(img)
+        with GLOBAL_TIMER.stage("orb_extraction"):
+            feats = self._extract(img)
         ur = depth = None
         if self.base_sensor == "stereo":
             feats_r = self._extract(jnp.asarray(img_right, jnp.float32))
@@ -608,6 +610,12 @@ class Tracker:
                 stereo=(self.base_sensor != "mono"), bf=cfg.bf,
             )
         s = local_mapper.cull_landmarks(s)
+        # keyframe culling over the recent window (LocalMapping::KeyFrameCulling);
+        # skipped for inertial maps (temporal-chain preservation: round 2)
+        if self.imu is None and int(s.n_kf) > w + 4:
+            s = local_mapper.cull_keyframes(
+                s, jnp.asarray(rows[: w + 4], jnp.int32)
+            )
         s = atlas_state.update_landmark_stats(s)
         self.map = s
 

@@ -138,3 +138,44 @@ def build_essential_edges(s: MapState, W, min_weight: int = 100,
         jnp.asarray(src), jnp.asarray(dst), jnp.asarray(R_rel),
         jnp.asarray(t_rel), jnp.asarray(s_rel), jnp.asarray(valid),
     )
+
+
+def _pose4_retract(state, delta):
+    """VertexPose4DoF update (G2oTypes.h:155-189): translation + yaw only —
+    gravity-observable maps must not bend in roll/pitch."""
+    dyaw = jnp.concatenate(
+        [jnp.zeros_like(delta[..., :2]), delta[..., 3:4]], axis=-1
+    )
+    return {
+        "R": lie.so3_exp(dyaw) @ state["R"],
+        "t": state["t"] + delta[..., :3],
+    }
+
+
+def optimize_essential_graph_4dof(kf_R, kf_t, fixed,
+                                  src, dst, R_rel, t_rel, edge_valid,
+                                  iters: int = 20):
+    """4-DoF pose-graph optimization (OptimizeEssentialGraph4DoF,
+    `/root/reference/src/Optimizer.cc:5292`): SE3 relative constraints over
+    yaw+translation vertices — used for loop correction on inertial maps
+    where gravity fixes roll/pitch and scale is metric."""
+    from ..lm.problem import VertexBlock
+
+    block = VertexBlock(
+        state={"R": kf_R, "t": kf_t}, fixed=fixed, tangent_dim=4,
+        retract=_pose4_retract,
+    )
+    eb = EdgeBatch(
+        indices=(src, dst),
+        data={"R_ji": R_rel, "t_ji": t_rel},
+        info=jnp.where(edge_valid, 1.0, 0.0),
+        mask=edge_valid,
+        vertex_blocks=("pose4", "pose4"),
+        residual_dim=6,
+        residual=lm_edges.relative_se3_residual,
+        huber_delta=None,
+    )
+    problem = Problem(blocks={"pose4": block}, edges=(eb,))
+    solved, stats = dense.solve(problem, num_iters=iters, lam0=1e-8)
+    st = solved.blocks["pose4"].state
+    return st["R"], st["t"], stats

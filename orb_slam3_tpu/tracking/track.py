@@ -4,10 +4,11 @@ These are the hot per-frame computations of `Tracking::Track()`
 (`/root/reference/src/Tracking.cc:1794-2332`), reformulated as fixed-shape
 jitted functions. The host-side state machine lives in `tracker.py`.
 
-- `pose_optimize`: motion-only BA — 1 SE3 vertex, mono unary edges, 4 rounds
-  x 10 LM iterations with chi2-gated outlier reclassification between rounds
+- `pose_optimize`: motion-only BA — 1 SE3 vertex, mono unary edges, LM
+  rounds with chi2-gated outlier reclassification between rounds
   (Optimizer::PoseOptimization, `/root/reference/src/Optimizer.cc:814-1113`:
-  rounds at chi2 5.991, kernel dropped after round 2).
+  4 rounds x 10 iterations there; 3x6 here — the per-frame prediction is
+  close and the sequential depth is the latency cost on TPU).
 - `track_local_map_step`: frustum-cull + project the local-map snapshot,
   windowed descriptor search, then pose_optimize
   (Tracking::TrackLocalMap / SearchLocalPoints, `Tracking.cc:2949-3061,3343`).
@@ -32,7 +33,7 @@ def _project_points(kind, K, R, t, X):
 
 @partial(jax.jit, static_argnames=("kind", "rounds", "iters"))
 def pose_optimize(kind: int, K, R0, t0, uv, Xw, inv_sigma2, valid,
-                  rounds: int = 4, iters: int = 10):
+                  rounds: int = 3, iters: int = 6):
     """Motion-only BA with staged outlier gating.
 
     R0/t0: initial Tcw. uv [N,2] observations of world points Xw [N,3];
@@ -100,7 +101,7 @@ def pose_optimize(kind: int, K, R0, t0, uv, Xw, inv_sigma2, valid,
 
 @partial(jax.jit, static_argnames=("kind", "rounds", "iters"))
 def pose_optimize_stereo(kind: int, K, bf, R0, t0, uv, ur, Xw, inv_sigma2,
-                         valid, rounds: int = 4, iters: int = 10):
+                         valid, rounds: int = 3, iters: int = 6):
     """Motion-only BA with mixed mono/stereo edges.
 
     Stereo edges (ur >= 0) contribute the 3-dim (uL, v, uR) residual of

@@ -131,3 +131,54 @@ class TestEssentialGraph:
         )
         assert err.max() < 0.05, (err.max(), err0.max())
         assert err.max() < err0.max() * 0.2
+
+
+class TestEssential4DoF:
+    def test_yaw_translation_only_correction(self):
+        """Drifted chain with yaw+translation noise; 4-DoF PGO closes the
+        loop without touching roll/pitch."""
+        n = 12
+        ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+        t_gt = np.stack([np.cos(ang), np.sin(ang), 0.1 * np.sin(2 * ang)], -1)
+        R_gt = np.array(lie.so3_exp(jnp.asarray(
+            np.stack([np.zeros(n), np.zeros(n), ang], -1))))
+
+        rng = np.random.default_rng(1)
+        R0, t0 = [], []
+        for i in range(n):
+            dyaw = 0.04 * rng.normal() * (i / n)
+            dR = np.array(lie.so3_exp(jnp.asarray([0.0, 0.0, dyaw])))
+            R0.append(dR @ R_gt[i])
+            t0.append(t_gt[i] + 0.05 * rng.normal(size=3) * (i / n))
+        R0, t0 = np.stack(R0), np.stack(t0)
+
+        src = np.arange(n, dtype=np.int32)
+        dst = (src + 1) % n
+        Rr, tr = [], []
+        for i in range(n):
+            j = (i + 1) % n
+            Ri, ti = lie.se3_inv(jnp.asarray(R_gt[i]), jnp.asarray(t_gt[i]))
+            Rrel, trel = lie.se3_mul(jnp.asarray(R_gt[j]), jnp.asarray(t_gt[j]), Ri, ti)
+            Rr.append(np.array(Rrel))
+            tr.append(np.array(trel))
+        fixed = jnp.zeros(n, bool).at[0].set(True)
+
+        Ro, to, stats = essential.optimize_essential_graph_4dof(
+            jnp.asarray(R0), jnp.asarray(t0), fixed,
+            jnp.asarray(src), jnp.asarray(dst),
+            jnp.asarray(np.stack(Rr)), jnp.asarray(np.stack(tr)),
+            jnp.ones(n, bool), iters=30,
+        )
+        centers = -np.einsum("nij,ni->nj", np.array(Ro), np.array(to))
+        gt_c = -np.einsum("nij,ni->nj", R_gt, t_gt)
+        err = np.linalg.norm(centers - gt_c, axis=1)
+        err0 = np.linalg.norm(
+            -np.einsum("nij,ni->nj", R0, t0) - gt_c, axis=1
+        )
+        assert err.max() < 0.3 * max(err0.max(), 1e-9), (err.max(), err0.max())
+        # roll/pitch unchanged: z-column of R must match the INITIAL z-column
+        # rotated only about z... simpler: gravity direction (third row of R
+        # applied to z) preserved vs initialization up to yaw
+        z0 = R0[:, 2, 2]
+        zo = np.array(Ro)[:, 2, 2]
+        np.testing.assert_allclose(zo, z0, atol=1e-5)

@@ -76,38 +76,60 @@ def _ic_angle_mask_and_coords():
 _IC_MASK, _IC_U, _IC_V = _ic_angle_mask_and_coords()
 
 
-def gather_patches(img, xy_int):
-    """img [H, W], integer keypoint coords [N, 2] (x, y) -> [N, 41, 41].
-    Coordinates are clamped; callers mask invalid keypoints downstream.
-    One advanced-indexing gather (vs N dynamic slices)."""
+def gather_patches_flat(img, xy_int):
+    """img [H, W], integer keypoint coords [N, 2] (x, y) -> [N, 1681]
+    row-major flattened 41x41 patches.
+
+    The patches live in [N, 1681] layout end-to-end: a [N, 41, 41] tensor
+    (41 of 128 lanes) forces multi-ms relayouts on TPU the moment anything
+    reshapes it. One flat gather with a static offset table instead.
+    """
     h, w = img.shape
     padded = jnp.pad(img, PR, mode="edge")
+    wp = w + 2 * PR
+    flat_img = padded.reshape(-1)
     x = jnp.clip(xy_int[:, 0], 0, w - 1)
     y = jnp.clip(xy_int[:, 1], 0, h - 1)
-    dy = jnp.arange(PATCH)
-    rows = y[:, None, None] + dy[None, :, None]   # [N, P, 1]
-    cols = x[:, None, None] + dy[None, None, :]   # [N, 1, P]
-    return padded[rows, cols]
+    di = jnp.arange(PATCH)
+    offs = (di[:, None] * wp + di[None, :]).reshape(-1)  # [1681] static
+    base = y * wp + x  # top-left corner of the patch in padded coords
+    return flat_img[base[:, None] + offs[None, :]]
 
 
-_IC_W = jnp.stack(
-    [(_IC_MASK * _IC_U).reshape(-1), (_IC_MASK * _IC_V).reshape(-1)], axis=1
-)  # [961, 2]
+def gather_patches(img, xy_int):
+    """Compatibility wrapper: [N, 41, 41] view of gather_patches_flat."""
+    return gather_patches_flat(img, xy_int).reshape(-1, PATCH, PATCH)
 
 
-def ic_angle(patches):
-    """Intensity-centroid angle in radians for [N, 41, 41] raw-image patches
-    (IC_Angle, ORBextractor.cc:76-105). The two moments are one [N,961]@[961,2]
-    matmul (the [N,31,31] elementwise form wastes ~4/5 of the VPU lanes)."""
+def _ic_weight_full():
+    """[1681, 2] moment weights over the FULL flat 41x41 patch (zero outside
+    the 31x31 IC disc) — the moments become one matmul with no slicing."""
+    W = np.zeros((PATCH, PATCH, 2), np.float32)
     c = PR
-    sub = patches[:, c - HALF_PATCH : c + HALF_PATCH + 1,
-                  c - HALF_PATCH : c + HALF_PATCH + 1]
-    m = sub.reshape(sub.shape[0], -1) @ _IC_W  # [N, 2] = (m10, m01)
+    sl = slice(c - HALF_PATCH, c + HALF_PATCH + 1)
+    W[sl, sl, 0] = np.asarray(_IC_MASK * _IC_U)
+    W[sl, sl, 1] = np.asarray(_IC_MASK * _IC_V)
+    return jnp.asarray(W.reshape(-1, 2))
+
+
+_IC_W_FULL = _ic_weight_full()
+
+
+def ic_angle_flat(flat_patches):
+    """Intensity-centroid angle for [N, 1681] flat raw-image patches
+    (IC_Angle, ORBextractor.cc:76-105): one [N,1681]@[1681,2] matmul."""
+    m = flat_patches @ _IC_W_FULL  # [N, 2] = (m10, m01)
     return jnp.arctan2(m[:, 1], m[:, 0])
 
 
-def brief_descriptors(blur_patches, angles):
-    """Steered BRIEF: [N, 41, 41] blurred patches + [N] angles -> [N, 32] uint8.
+def ic_angle(patches):
+    """Compatibility wrapper for [N, 41, 41] patches."""
+    return ic_angle_flat(patches.reshape(patches.shape[0], -1))
+
+
+def brief_descriptors_flat(flat_patches, angles):
+    """Steered BRIEF: [N, 1681] flat blurred patches + [N] angles ->
+    [N, 32] uint8.
 
     Sample-coordinate rotation follows computeOrbDescriptor
     (ORBextractor.cc:107-148): row = round(x sin + y cos), col = round(x cos - y sin).
@@ -124,14 +146,21 @@ def brief_descriptors(blur_patches, angles):
     ra, ca = rot(PATTERN_A)
     rb, cb = rot(PATTERN_B)
 
-    n = blur_patches.shape[0]
-    flat = blur_patches.reshape(n, PATCH * PATCH)
+    n = flat_patches.shape[0]
+    flat = flat_patches
     va = jnp.take_along_axis(flat, ra * PATCH + ca, axis=1)  # [N, 256]
     vb = jnp.take_along_axis(flat, rb * PATCH + cb, axis=1)
     bits = (va < vb).astype(jnp.uint8)  # [N, 256]
     weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
     return jnp.sum(bits.reshape(n, 32, 8) * weights[None, None, :], axis=-1).astype(
         jnp.uint8
+    )
+
+
+def brief_descriptors(blur_patches, angles):
+    """Compatibility wrapper for [N, 41, 41] patches."""
+    return brief_descriptors_flat(
+        blur_patches.reshape(blur_patches.shape[0], -1), angles
     )
 
 
@@ -185,11 +214,11 @@ def extract_level(img, n_max: int, cfg: OrbConfig):
     )
     xy, score, valid = select_mod.select_keypoints(resp, n_max, cell=cfg.cell)
     xy_int = xy.astype(jnp.int32)
-    raw_patches = gather_patches(img, xy_int)
-    angles = ic_angle(raw_patches)
+    raw_flat = gather_patches_flat(img, xy_int)
+    angles = ic_angle_flat(raw_flat)
     blurred = pyr_mod.gaussian_blur(img)
-    blur_patches = gather_patches(blurred, xy_int)
-    desc = brief_descriptors(blur_patches, angles)
+    blur_flat = gather_patches_flat(blurred, xy_int)
+    desc = brief_descriptors_flat(blur_flat, angles)
     return xy, score, angles, desc, valid
 
 

@@ -225,10 +225,11 @@ def extract_level(img, n_max: int, cfg: OrbConfig):
 def extract(img, cfg: OrbConfig = OrbConfig()):
     """Full-pyramid ORB extraction: [H, W] uint8/float -> Features.
 
-    The returned arrays have static size sum(features_per_level) ==
-    cfg.n_features (padded with valid=False), coordinates scaled to level 0
-    like the reference (`ORBextractor.cc:1152-1161`).
-    """
+    Per-level jitted stages (measured FASTER on the v5e than the
+    all-levels-padded-batch variant `extract_batched` below: the 8x padded
+    compute outweighs the kernel-count savings). Returned arrays have static
+    size sum(features_per_level) == cfg.n_features (padded with valid=False),
+    coordinates scaled to level 0 (`ORBextractor.cc:1152-1161`)."""
     img = img.astype(jnp.float32)
     levels = pyr_mod.build_pyramid(img, cfg.n_levels, cfg.scale_factor)
     budgets = cfg.features_per_level()
@@ -258,4 +259,124 @@ def extract(img, cfg: OrbConfig = OrbConfig()):
         octave=jnp.concatenate([p[3] for p in parts]),
         descriptors=jnp.concatenate([p[4] for p in parts]),
         valid=jnp.concatenate([p[5] for p in parts]),
+    )
+
+
+def extract_batched(img, cfg: OrbConfig = OrbConfig()):
+    """EXPERIMENTAL batched-levels extraction (slower than `extract` on v5e
+    in round-1 measurements — kept for future tuning).
+
+    Every pyramid level is edge-padded to the level-0 shape
+    and stacked, so FAST, blur, selection, patch gather, orientation and
+    BRIEF each run as ONE batched kernel over [n_levels, H, W] /
+    [n_total_kp, 1681] instead of n_levels small ones (per-level launches
+    and odd shapes dominated the runtime). Edge-replicated padding is
+    corner-free, so the dead area yields no detections; runtime border masks
+    use each level's true extent. Output contract matches `extract_looped`
+    (static size sum(features_per_level), level-0 coordinates,
+    `ORBextractor.cc:1152-1161`).
+    """
+    img = img.astype(jnp.float32)
+    Lv = cfg.n_levels
+    H0, W0 = img.shape
+    levels = pyr_mod.build_pyramid(img, Lv, cfg.scale_factor)
+    shapes = pyr_mod.level_shapes(H0, W0, Lv, cfg.scale_factor)
+    budgets = cfg.features_per_level()
+    n_per = max(budgets)
+
+    stack = jnp.stack(
+        [
+            jnp.pad(lv, ((0, H0 - h), (0, W0 - w)), mode="edge")
+            for lv, (h, w) in zip(levels, shapes)
+        ]
+    )  # [Lv, H0, W0]
+    hs = jnp.asarray([h for h, _ in shapes])
+    ws = jnp.asarray([w for _, w in shapes])
+
+    # batched FAST + runtime border mask for each level's true extent
+    resp = jax.vmap(
+        lambda im: fast_mod.fast_response(im, cfg.ini_th_fast)
+    )(stack)
+    resp_lo = jax.vmap(
+        lambda im: fast_mod.fast_response(im, cfg.min_th_fast)
+    )(stack)
+    # per-cell high-threshold fallback (detect() policy), batched
+    cell = cfg.cell
+    ph, pw = (-H0) % cell, (-W0) % cell
+
+    def cell_fallback(r_hi, r_lo):
+        rh = jnp.pad(r_hi, ((0, ph), (0, pw)))
+        has_hi = (
+            rh.reshape(-1, cell, (W0 + pw) // cell, cell)
+            .transpose(0, 2, 1, 3)
+            .max(axis=(2, 3))
+            > 0.0
+        )
+        use_lo = ~has_hi
+        use_lo_full = jnp.repeat(
+            jnp.repeat(use_lo, cell, axis=0), cell, axis=1
+        )[:H0, :W0]
+        return jnp.where(use_lo_full, r_lo, r_hi)
+
+    resp = jax.vmap(cell_fallback)(resp, resp_lo)
+    resp = jax.vmap(fast_mod.nonmax_3x3)(resp)
+    ys = jnp.arange(H0)[None, :, None]
+    xs = jnp.arange(W0)[None, None, :]
+    b = cfg.border
+    in_border = (
+        (ys >= b) & (ys < (hs[:, None, None] - b))
+        & (xs >= b) & (xs < (ws[:, None, None] - b))
+    )
+    resp = jnp.where(in_border, resp, 0.0)
+
+    # batched per-level selection to the max budget; mask down per level
+    xy, score, valid = jax.vmap(
+        lambda r: select_mod.select_keypoints(r, n_per, cell=cfg.cell)
+    )(resp)  # [Lv, n_per, 2], [Lv, n_per], [Lv, n_per]
+    budget_mask = (
+        jnp.arange(n_per)[None, :] < jnp.asarray(budgets)[:, None]
+    )
+    valid = valid & budget_mask
+
+    # flatten all levels' keypoints into one batch
+    lvl_ids = jnp.broadcast_to(
+        jnp.arange(Lv, dtype=jnp.int32)[:, None], (Lv, n_per)
+    ).reshape(-1)
+    xy_f = xy.reshape(-1, 2)
+    score_f = score.reshape(-1)
+    valid_f = valid.reshape(-1)
+    xy_int = xy_f.astype(jnp.int32)
+
+    # one flat gather over the padded level stack (raw + blurred)
+    blur = jax.vmap(pyr_mod.gaussian_blur)(stack)
+    Hp, Wp = H0 + 2 * PR, W0 + 2 * PR
+    stack_p = jnp.pad(stack, ((0, 0), (PR, PR), (PR, PR)), mode="edge")
+    blur_p = jnp.pad(blur, ((0, 0), (PR, PR), (PR, PR)), mode="edge")
+    di = jnp.arange(PATCH)
+    offs = (di[:, None] * Wp + di[None, :]).reshape(-1)
+    base = lvl_ids * (Hp * Wp) + xy_int[:, 1] * Wp + xy_int[:, 0]
+    fidx = base[:, None] + offs[None, :]
+    raw_flat = stack_p.reshape(-1)[fidx]     # [N, 1681]
+    blur_flat = blur_p.reshape(-1)[fidx]
+
+    angles = ic_angle_flat(raw_flat)
+    desc = brief_descriptors_flat(blur_flat, angles)
+
+    scales = jnp.asarray(
+        [cfg.scale_factor ** l for l in range(Lv)], jnp.float32
+    )
+    xy_scaled = xy_f * scales[lvl_ids][:, None]
+
+    # compact to the static contract size: per-level budget slices
+    keep = np.concatenate(
+        [np.arange(l * n_per, l * n_per + budgets[l]) for l in range(Lv)]
+    )
+    keep = jnp.asarray(keep, jnp.int32)
+    return Features(
+        xy=xy_scaled[keep],
+        response=score_f[keep],
+        angle=angles[keep],
+        octave=lvl_ids[keep],
+        descriptors=desc[keep],
+        valid=valid_f[keep],
     )

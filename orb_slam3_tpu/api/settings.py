@@ -44,6 +44,10 @@ class SlamSettings:
     walk_gyro: float = 1.9e-5
     walk_acc: float = 3e-3
     Tbc: np.ndarray = None                # [4, 4]
+    # non-rectified stereo (fisheye): right camera + T_c1_c2 (left-from-right,
+    # `Stereo.T_c1_c2` in the 1.0 schema, Settings.cc readCamera2)
+    K_right: np.ndarray = None            # [8]
+    T_lr: np.ndarray = None               # [4, 4]
 
 
 def _load_yaml(path: str) -> dict:
@@ -113,6 +117,25 @@ def load_settings(path: str, sensor: str = "mono") -> SlamSettings:
     s.walk_gyro = float(get("IMU.GyroWalk", default=1.9e-5))
     s.walk_acc = float(get("IMU.AccWalk", default=3e-3))
 
+    # second (right) camera for non-rectified stereo
+    if get("Camera2.fx") is not None:
+        fx2 = float(get("Camera2.fx"))
+        fy2 = float(get("Camera2.fy"))
+        cx2 = float(get("Camera2.cx"))
+        cy2 = float(get("Camera2.cy"))
+        if s.kind == cam.KB8:
+            k2s = [float(get(f"Camera2.k{i+1}", default=0.0)) for i in range(4)]
+            s.K_right = np.array(cam.make_kb8(fx2, fy2, cx2, cy2, *k2s))
+        else:
+            s.K_right = np.array(cam.make_pinhole(fx2, fy2, cx2, cy2))
+        tlr = get("Stereo.T_c1_c2", "Tlr")
+        if isinstance(tlr, dict) and "data" in tlr:
+            rows = 4 if len(tlr["data"]) == 16 else 3
+            s.T_lr = np.eye(4, dtype=np.float32)
+            s.T_lr[:rows] = np.array(tlr["data"], np.float32).reshape(rows, 4)
+        elif tlr is not None:
+            s.T_lr = np.array(tlr, np.float32).reshape(4, 4)
+
     tbc = get("IMU.T_b_c1", "Tbc")
     if isinstance(tbc, dict) and "data" in tbc:
         s.Tbc = np.array(tbc["data"], np.float32).reshape(4, 4)
@@ -143,7 +166,21 @@ def to_tracker_config(s: SlamSettings, **overrides):
             ini_th_fast=float(s.ini_th_fast),
             min_th_fast=float(s.min_th_fast),
         ),
+        imu_noise=dict(
+            noise_gyro=s.noise_gyro, noise_acc=s.noise_acc,
+            walk_gyro=s.walk_gyro, walk_acc=s.walk_acc,
+        ),
+        Tbc=s.Tbc,
     )
+    # non-rectified stereo: KB8 pair with explicit T_lr (X_l = T_lr X_r)
+    if (s.sensor.startswith("stereo") and s.kind == cam.KB8
+            and s.K_right is not None and s.T_lr is not None):
+        R_lr = s.T_lr[:3, :3]
+        t_lr = s.T_lr[:3, 3]
+        cfg.stereo_fisheye = True
+        cfg.K_right = jnp.asarray(s.K_right)
+        cfg.R_rl = R_lr.T
+        cfg.t_rl = -R_lr.T @ t_lr
     for k, v in overrides.items():
         setattr(cfg, k, v)
     return cfg

@@ -53,19 +53,21 @@ class System:
             self.tracker.map = atlas_ops.create_map(self.tracker.map)
 
     # ------------------------------------------------------------------
-    def track_monocular(self, img, timestamp: float):
-        """System::TrackMonocular (System.cc:399)."""
-        self.tracker.process(img, timestamp)
+    def track_monocular(self, img, timestamp: float, imu=None):
+        """System::TrackMonocular (System.cc:399). imu: [M,7] rows
+        (t, gx, gy, gz, ax, ay, az) since the previous frame (vImuMeas)."""
+        self.tracker.process(img, timestamp, imu=imu)
         return self.current_pose()
 
-    def track_stereo(self, img_left, img_right, timestamp: float):
+    def track_stereo(self, img_left, img_right, timestamp: float, imu=None):
         """System::TrackStereo (System.cc:244)."""
-        self.tracker.process(img_left, timestamp, img_right=img_right)
+        self.tracker.process(img_left, timestamp, img_right=img_right,
+                             imu=imu)
         return self.current_pose()
 
-    def track_rgbd(self, img, depth, timestamp: float):
+    def track_rgbd(self, img, depth, timestamp: float, imu=None):
         """System::TrackRGBD (System.cc:328)."""
-        self.tracker.process(img, timestamp, depth_map=depth)
+        self.tracker.process(img, timestamp, depth_map=depth, imu=imu)
         return self.current_pose()
 
     # ------------------------------------------------------------------

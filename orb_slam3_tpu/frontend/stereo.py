@@ -19,6 +19,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from . import camera as cam
 from . import matching
 
 SAD_W = 5    # half window (11x11 patch, Frame.cc:906-949 uses w=5)
@@ -135,3 +136,75 @@ def depth_from_rgbd(xy, depth_map, bf, depth_factor: float = 1.0,
     ok = (z > 0) & flat & (zmin > 0)
     ur = jnp.where(ok, xy[:, 0] - bf / jnp.maximum(z, 1e-6), -1.0)
     return ur, jnp.where(ok, z, 0.0), ok
+
+
+@partial(jax.jit, static_argnames=("kind",))
+def match_stereo_fisheye(kind: int, K_l, K_r, R_rl, t_rl,
+                         xy_l, desc_l, valid_l,
+                         xy_r, desc_r, valid_r,
+                         ratio: float = 0.7,
+                         max_cos_parallax: float = 0.9998,
+                         max_reproj_px: float = 3.0):
+    """Non-rectified (fisheye) stereo matching + direct two-view triangulation.
+
+    Role of `Frame::ComputeStereoFishEyeMatches` (`/root/reference/src/
+    Frame.cc:1126-1164`: BFMatcher knn with ratio 0.7) and
+    `KannalaBrandt8::TriangulateMatches` (`/root/reference/src/CameraModels/
+    KannalaBrandt8.cpp`: unproject both rays, parallax gate
+    cosParallax < 0.9998, DLT triangulation against [I|0] / [R_rl|t_rl],
+    positive depth in both cameras, reprojection gate in both images).
+
+    Dense reformulation: one Hamming matrix with ratio + cross-check, then a
+    batched closed-form DLT over all candidate pairs. T_rl maps left-camera
+    points to the right camera: X_r = R_rl X_l + t_rl.
+
+    Returns (depth [Nl] — z in the LEFT camera, has_depth [Nl]). There is no
+    `ur` for fisheye (no common image plane); consumers bind the depth like
+    an RGB-D measurement (the landmark seeding path) — the reference instead
+    keeps a right-camera reprojection edge (EdgeSE3ProjectXYZToBody); round-2
+    parity item.
+    """
+    from . import matching
+    from . import two_view
+
+    idx, _, ok = matching.search_by_brute_force(
+        desc_l, valid_l, desc_r, valid_r, ratio=ratio,
+        max_dist=matching.TH_LOW,
+    )
+    uv_r = xy_r[idx]
+
+    # unproject to unit-free normalized coordinates (z=1 planes don't exist
+    # for >180deg fisheye, but KB8 unprojection returns a 3D ray)
+    ray_l = cam.unproject(kind, K_l, xy_l)          # [N, 3]
+    ray_r_cam = cam.unproject(kind, K_r, uv_r)      # [N, 3] in right frame
+
+    # DLT in normalized coordinates against P0=[I|0], P1=[R_rl|t_rl]
+    p0 = ray_l[:, :2] / jnp.maximum(ray_l[:, 2:3], 1e-9)
+    p1 = ray_r_cam[:, :2] / jnp.maximum(ray_r_cam[:, 2:3], 1e-9)
+    P0 = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
+    P1 = jnp.concatenate([R_rl, t_rl[:, None]], axis=1)
+    X_l = two_view.triangulate(P0, P1, p0, p1)      # in left camera frame
+
+    # parallax between the rays (both expressed in the left frame)
+    ray_r_l = ray_r_cam @ R_rl                      # R_rl^T @ ray_r
+    cosp = jnp.sum(ray_l * ray_r_l, axis=-1) / jnp.maximum(
+        jnp.linalg.norm(ray_l, axis=-1) * jnp.linalg.norm(ray_r_l, axis=-1),
+        1e-9,
+    )
+
+    X_r = X_l @ R_rl.T + t_rl
+    z_l, z_r = X_l[:, 2], X_r[:, 2]
+    uv_l_hat = cam.project(kind, K_l, X_l)
+    uv_r_hat = cam.project(kind, K_r, X_r)
+    err_l = jnp.linalg.norm(uv_l_hat - xy_l, axis=-1)
+    err_r = jnp.linalg.norm(uv_r_hat - uv_r, axis=-1)
+
+    good = (
+        ok
+        & (cosp < max_cos_parallax)
+        & (z_l > 0.05)
+        & (z_r > 0.05)
+        & (err_l < max_reproj_px)
+        & (err_r < max_reproj_px)
+    )
+    return jnp.where(good, z_l, 0.0), good

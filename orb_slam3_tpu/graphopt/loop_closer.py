@@ -41,10 +41,12 @@ class LoopCloserConfig:
 
 class LoopCloser:
     def __init__(self, voc: vocab_mod.Vocabulary, kmax: int,
-                 cfg: LoopCloserConfig = LoopCloserConfig()):
+                 cfg: LoopCloserConfig = LoopCloserConfig(),
+                 scale_factors=None):
         self.voc = voc
         self.cfg = cfg
         self.db = recognition.KeyframeDB.empty(kmax, voc.n_words)
+        self.scale_factors = scale_factors
         self.n_loops = 0
         self.n_merges = 0
 
@@ -130,7 +132,7 @@ class LoopCloser:
             s2 = self._correct_loop(s, kf_row, cand, R_s, t_s, s_s, kind, K8)
             self.n_loops += 1
         else:
-            s2 = self._merge_maps(s, kf_row, cand, R_s, t_s, s_s)
+            s2 = self._merge_maps(s, kf_row, cand, R_s, t_s, s_s, kind, K8)
             self.n_merges += 1
         return s2
 
@@ -177,7 +179,7 @@ class LoopCloser:
         return essential.correct_map_after_pgo(s, s.kf_R, s.kf_t, Ro, to, so)
 
     # ------------------------------------------------------------------
-    def _merge_maps(self, s, kf_row, cand, R_s, t_s, s_s):
+    def _merge_maps(self, s, kf_row, cand, R_s, t_s, s_s, kind=None, K8=None):
         """MergeLocal/MergeLocal2 core: transform the ACTIVE map into the
         candidate's map frame using the measured Sim3, then relabel.
 
@@ -225,4 +227,48 @@ class LoopCloser:
         s2 = dataclasses.replace(s, kf_R=kf_Rn, kf_t=kf_tn, lm_pos=new_lm)
         s2 = atlas_ops.change_map_id(s2, active, target)
         s2 = dataclasses.replace(s2, active_map=jnp.asarray(target, jnp.int32))
-        return s2
+        if kind is None or self.scale_factors is None:
+            return s2
+        return self._weld(s2, kf_row, cand, kind, K8)
+
+    def _weld(self, s2, kf_row, cand, kind, K8):
+        """Welding window after a merge (MergeLocal's SearchAndFuse +
+        welding LocalBundleAdjustment, LoopClosing.cc:1307-1331 +
+        Optimizer.cc:3498): fuse duplicated landmarks through the window
+        keyframes, then a local BA with the matched map's side held fixed."""
+        from ..atlas.state import covisibility_weights, update_landmark_stats
+        from ..mapping import fuse as fuse_mod
+        from ..mapping import local_mapper
+
+        W = covisibility_weights(s2)
+        Wn = np.array(W)
+
+        def top_covis(row, n):
+            order = np.argsort(-Wn[row])
+            rows = [row] + [int(r) for r in order[:n] if Wn[row, r] > 0]
+            return rows
+
+        cur_side = top_covis(kf_row, 5)
+        cand_side = [r for r in top_covis(cand, 5) if r not in cur_side]
+        if not cand_side:
+            cand_side = [cand]
+
+        # fuse duplicates through both sides of the weld
+        for row in cur_side + cand_side:
+            s2, _ = fuse_mod.merge_duplicates_at_keyframe(
+                kind, K8, s2, jnp.asarray(row, jnp.int32), self.scale_factors
+            )
+            s2 = fuse_mod.fuse_into_keyframe(
+                kind, K8, s2, jnp.asarray(row, jnp.int32), self.scale_factors
+            )
+
+        # welding BA: candidate (matched-map) side fixed, current side free
+        rows = cand_side + cur_side
+        n_fixed = len(cand_side)
+        window = len(rows)
+        s2, _ = local_mapper.local_ba(
+            kind, K8, s2, jnp.asarray(rows, jnp.int32),
+            n_fixed=n_fixed, window=window, iters=8,
+            scale_factors=self.scale_factors,
+        )
+        return update_landmark_stats(s2)

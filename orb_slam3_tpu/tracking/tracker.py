@@ -59,6 +59,14 @@ class TrackerConfig:
     lmax: int = 8192
     match_radius_coarse: float = 15.0  # TrackWithMotionModel th (Tracking.cc:2879)
     match_radius_fine: float = 4.0
+    # non-rectified (fisheye) stereo: right-camera intrinsics + T_rl
+    # (X_r = R_rl X_l + t_rl); depth comes from direct two-view
+    # triangulation instead of the rectified row matcher
+    # (Frame::ComputeStereoFishEyeMatches, Frame.cc:1126)
+    stereo_fisheye: bool = False
+    K_right: jnp.ndarray = None
+    R_rl: np.ndarray = None
+    t_rl: np.ndarray = None
 
 
 @dataclasses.dataclass
@@ -98,6 +106,8 @@ class Tracker:
         self._frame_ur = None
         self._frame_depth = None
         self._tracked_lms = None
+        self._vi_prior = None         # ConstraintPoseImu chain (Optimizer.cc:4875)
+        self._map_version = 0         # bumps on structural map updates
         self.loop_closer = None       # optional LoopCloser (attach_loop_closer)
         self.base_sensor = cfg.sensor.split("-")[0]
         self.use_imu = cfg.sensor.endswith("-imu")
@@ -114,7 +124,9 @@ class Tracker:
         relocalization (the reference's LoopClosing thread + KFDB roles)."""
         from ..graphopt import loop_closer as lc
 
-        self.loop_closer = lc.LoopCloser(voc, self.cfg.kmax)
+        self.loop_closer = lc.LoopCloser(
+            voc, self.cfg.kmax, scale_factors=self.scale_factors
+        )
 
     # ------------------------------------------------------------------
     # relocalization (Tracking::Relocalization, Tracking.cc:3609-3761)
@@ -193,7 +205,16 @@ class Tracker:
         with GLOBAL_TIMER.stage("orb_extraction"):
             feats = self._extract(img)
         ur = depth = None
-        if self.base_sensor == "stereo":
+        if self.base_sensor == "stereo" and self.cfg.stereo_fisheye:
+            feats_r = self._extract(jnp.asarray(img_right, jnp.float32))
+            depth, _ = stereo_mod.match_stereo_fisheye(
+                self.cfg.kind, self.cfg.K, self.cfg.K_right,
+                jnp.asarray(self.cfg.R_rl, jnp.float32),
+                jnp.asarray(self.cfg.t_rl, jnp.float32),
+                feats.xy, feats.descriptors, feats.valid,
+                feats_r.xy, feats_r.descriptors, feats_r.valid,
+            )
+        elif self.base_sensor == "stereo":
             feats_r = self._extract(jnp.asarray(img_right, jnp.float32))
             ur, depth, _ = stereo_mod.match_stereo(
                 feats.xy, feats.octave, feats.descriptors, feats.valid,
@@ -440,6 +461,7 @@ class Tracker:
             self.last = {"R": R_pred, "t": t_pred, "feats": feats, "ts": timestamp}
             self.velocity = None
             self._tracked_lms = None
+            self._vi_prior = None
             # relocalize against the keyframe database (Tracking.cc:1981-2012)
             if self._try_relocalize(feats):
                 return True
@@ -490,7 +512,18 @@ class Tracker:
             self.scale_factors[jnp.clip(feats.octave[idx], 0, cfg.orb.n_levels - 1)]
             ** 2
         )
-        if self.base_sensor == "mono" or self._frame_ur is None:
+        # pose-inertial optimization once the IMU is initialized
+        # (TrackLocalMap chooses PoseInertialOptimizationLast{Frame,KeyFrame}
+        # over visual-only PoseOptimization, Tracking.cc:2970-2992); the
+        # coarse stage-1 refinement stays visual-only like the reference's
+        # motion-model stage
+        vi_out = None
+        if (update_stats and self.imu is not None and self.imu.initialized):
+            vi_out = self._vi_pose_optimize(s, feats, idx, ok, R0, t0,
+                                            inv_sig2)
+        if vi_out is not None:
+            R, t, inlier, n = vi_out
+        elif self.base_sensor == "mono" or self._frame_ur is None:
             R, t, inlier, n = track_mod.pose_optimize(
                 cfg.kind, cfg.K, R0, t0, uv, s.lm_pos, inv_sig2, ok
             )
@@ -511,6 +544,72 @@ class Tracker:
             # per-feature landmark assignment for KF creation
             self._last_feat_lm = self._assign_features(idx, inlier, s.lmax,
                                                        feats.xy.shape[0])
+        return R, t, inlier, n
+
+    def _vi_pose_optimize(self, s, feats, idx, ok, R0, t0, inv_sig2):
+        """PoseInertialOptimizationLast{KeyFrame,Frame} dispatch
+        (Tracking.cc:2970-2992): after a map update, optimize against the
+        last keyframe's (fixed) state; otherwise chain against the previous
+        frame through the marginalized ConstraintPoseImu prior.
+        Returns (R_cw, t_cw, inlier, n) or None to fall back to visual."""
+        from ..imu import factors
+        from . import vi_pose_opt, vi_tracker
+
+        imu = self.imu
+        cfg = self.cfg
+        prior = self._vi_prior
+        use_prior = prior is not None and prior["version"] == self._map_version
+        if use_prior:
+            pint = imu.preint_frame()
+            prev = prior["state"]
+        else:
+            if self.last_kf_row < 0:
+                return None
+            kf = self.last_kf_row
+            bg_kf, ba_kf = s.kf_bg[kf], s.kf_ba[kf]
+            pint = imu.preint_since_kf(bg=bg_kf, ba=ba_kf)
+            Rb, tb = vi_tracker.cam_to_body(
+                s.kf_R[kf], s.kf_t[kf], imu.Rbc, imu.tbc
+            )
+            prev = {"R": Rb, "t": tb, "v": s.kf_vel[kf],
+                    "bg": bg_kf, "ba": ba_kf}
+        if pint is None or float(pint.dT) <= 0.0:
+            return None
+
+        d, info = factors.preint_edge_data(pint)
+        rw = jnp.zeros((6, 6))
+        rw = rw.at[:3, :3].set(factors.gyro_rw_info(pint))
+        rw = rw.at[3:, 3:].set(factors.acc_rw_info(pint))
+
+        Rb0, tb0 = vi_tracker.cam_to_body(R0, t0, imu.Rbc, imu.tbc)
+        cur0 = {"R": Rb0, "t": tb0, "v": imu.vel,
+                "bg": imu.bg, "ba": imu.ba}
+        uv = feats.xy[idx]
+        if self._frame_ur is not None:
+            ur = jnp.where(ok, self._frame_ur[idx], -1.0)
+        else:
+            ur = -jnp.ones(uv.shape[0])
+
+        kwargs = {}
+        if use_prior:
+            kwargs = dict(
+                prior_data={"R0": prev["R"], "t0": prev["t"], "v0": prev["v"],
+                            "bg0p": prev["bg"], "ba0p": prev["ba"]},
+                prior_H=prior["H"], free_prev=True,
+            )
+        cur, inlier, n, H15 = vi_pose_opt.pose_inertial_optimize(
+            cfg.kind, cfg.K, cfg.bf, imu.Rbc, imu.tbc,
+            prev, cur0, d, info, rw,
+            uv, ur, s.lm_pos, inv_sig2, ok, **kwargs,
+        )
+        if not bool(jnp.all(jnp.isfinite(cur["t"]))):
+            return None
+        imu.vel = cur["v"]
+        imu.bg = cur["bg"]
+        imu.ba = cur["ba"]
+        self._vi_prior = {"state": cur, "H": H15,
+                          "version": self._map_version}
+        R, t = vi_tracker.body_to_cam(cur["R"], cur["t"], imu.Rbc, imu.tbc)
         return R, t, inlier, n
 
     @staticmethod
@@ -628,6 +727,7 @@ class Tracker:
                 s = self.map
                 self.last["R"] = s.kf_R[kf]
                 self.last["t"] = s.kf_t[kf]
+                self._vi_prior = None  # gauge changed
 
         # loop / merge detection on the fresh keyframe
         if self.loop_closer is not None:
@@ -649,6 +749,9 @@ class Tracker:
         self.last_kf_row = kf
         self.last_kf_inliers = n_inliers
         self.frames_since_kf = 0
+        # map structurally updated -> next frame optimizes against the KF
+        # (the reference's mbMapUpdated -> LastKeyFrame dispatch)
+        self._map_version += 1
 
     # ------------------------------------------------------------------
     def poses(self):

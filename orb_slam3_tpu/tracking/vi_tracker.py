@@ -77,14 +77,42 @@ class ImuState:
         d.append(dts)
 
     def preint_frame(self):
-        """Preintegration over the measurements since the last frame."""
+        """Preintegration over the measurements since the last frame,
+        padded to a 16-multiple bucket to bound jit recompiles."""
         if self._frame_meas is None:
             return None
         acc, gyro, dts = self._frame_meas
+        n = len(dts)
+        cap = min(IMU_BUF, -(-n // 16) * 16)
+        return self._integrate_padded(acc, gyro, dts, cap, self.bg, self.ba)
+
+    def preint_since_kf(self, bg=None, ba=None):
+        """Preintegration over ALL measurements since the last committed
+        keyframe (mpImuPreintegratedFromLastKF, Tracking.cc:1624-1735) —
+        the inertial edge of PoseInertialOptimizationLastKeyFrame."""
+        a, g, d = self._cur
+        if not a:
+            return None
+        acc = np.concatenate(a)
+        gyro = np.concatenate(g)
+        dts = np.concatenate(d)
+        return self._integrate_padded(
+            acc, gyro, dts, IMU_BUF,
+            self.bg if bg is None else bg, self.ba if ba is None else ba,
+        )
+
+    def _integrate_padded(self, acc, gyro, dts, cap, bg, ba):
+        n = len(dts)
+        if n > cap:
+            acc, gyro, dts = acc[-cap:], gyro[-cap:], dts[-cap:]
+            n = cap
+        pad = cap - n
         return pre.integrate(
-            jnp.asarray(acc, jnp.float32), jnp.asarray(gyro, jnp.float32),
-            jnp.asarray(dts, jnp.float32), jnp.ones(len(dts)),
-            self.bg, self.ba, **self.noise,
+            jnp.asarray(np.pad(acc, ((0, pad), (0, 0))), jnp.float32),
+            jnp.asarray(np.pad(gyro, ((0, pad), (0, 0))), jnp.float32),
+            jnp.asarray(np.pad(dts, (0, pad)), jnp.float32),
+            jnp.concatenate([jnp.ones(n), jnp.zeros(pad)]),
+            bg, ba, **self.noise,
         )
 
     def commit_keyframe(self, kf_row: int, timestamp: float):

@@ -181,6 +181,11 @@ def to_tracker_config(s: SlamSettings, **overrides):
         cfg.K_right = jnp.asarray(s.K_right)
         cfg.R_rl = R_lr.T
         cfg.t_rl = -R_lr.T @ t_lr
+        if cfg.bf <= 0:
+            # virtual bf for the inverse-depth binding of triangulated
+            # fisheye depth (Settings::readCamera2 computes bf from the
+            # stereo extrinsics baseline, Settings.cc)
+            cfg.bf = float(np.linalg.norm(t_lr)) * float(s.K[0])
     for k, v in overrides.items():
         setattr(cfg, k, v)
     return cfg

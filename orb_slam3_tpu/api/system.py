@@ -86,13 +86,13 @@ class System:
 
     def activate_localization_mode(self):
         """System::ActivateLocalizationMode (System.cc:409): tracking
-        continues, mapping stops (no new keyframes)."""
+        continues, mapping stops (no new keyframes, no map mutation)."""
         self.localization_only = True
-        self.tracker.cfg.kf_max_frames = 10 ** 9
+        self.tracker.mapping_paused = True
 
     def deactivate_localization_mode(self):
         self.localization_only = False
-        self.tracker.cfg.kf_max_frames = 5
+        self.tracker.mapping_paused = False
 
     def reset(self):
         """System::Reset: drop everything and start a fresh Atlas."""
@@ -124,6 +124,17 @@ class System:
             np.array(s.kf_R)[kv],
             np.array(s.kf_t)[kv],
         )
+
+    def run_global_ba(self, num_iters: int = 10):
+        """Synchronous full bundle adjustment of the active map
+        (Optimizer::GlobalBundleAdjustemnt, Optimizer.cc:52). The tracker
+        also spawns this in a background thread after loop closures
+        (LoopClosing.cc:1199-1207)."""
+        from ..mapping.global_ba import GlobalBARunner
+
+        runner = GlobalBARunner(self.tracker.cfg.K, self.tracker.cfg.kind,
+                                num_iters=num_iters)
+        self.tracker.map = runner.run(self.tracker.map)
 
     def save_atlas(self, path: str):
         checkpoint.save_atlas(path, self.tracker.map, self.vocabulary)

@@ -146,6 +146,11 @@ def brief_descriptors_flat(flat_patches, angles):
 
     Sample-coordinate rotation follows computeOrbDescriptor
     (ORBextractor.cc:107-148): row = round(x sin + y cos), col = round(x cos - y sin).
+
+    Sampling avoids per-element gathers (TPU-serialized on the scalar unit —
+    measured ~1 ms/level): rows are selected with a one-hot matmul on the MXU
+    ([N,512,41] @ [N,41,41]), columns with a one-hot multiply-reduce on the
+    VPU. Exact in f32-highest.
     """
     a = jnp.cos(angles)[:, None]  # [N, 1]
     b = jnp.sin(angles)[:, None]
@@ -158,11 +163,19 @@ def brief_descriptors_flat(flat_patches, angles):
 
     ra, ca = rot(PATTERN_A)
     rb, cb = rot(PATTERN_B)
+    r_all = jnp.concatenate([ra, rb], axis=1)  # [N, 512]
+    c_all = jnp.concatenate([ca, cb], axis=1)
 
     n = flat_patches.shape[0]
-    flat = flat_patches
-    va = jnp.take_along_axis(flat, ra * PATCH + ca, axis=1)  # [N, 256]
-    vb = jnp.take_along_axis(flat, rb * PATCH + cb, axis=1)
+    P3 = flat_patches.reshape(n, PATCH, PATCH)
+    k = jnp.arange(PATCH)
+    row_oh = (r_all[:, :, None] == k[None, None, :]).astype(jnp.float32)
+    rows_sel = jnp.einsum(
+        "nkr,nrc->nkc", row_oh, P3, precision="highest"
+    )  # [N, 512, 41]
+    col_oh = (c_all[:, :, None] == k[None, None, :]).astype(jnp.float32)
+    vals = jnp.sum(rows_sel * col_oh, axis=-1)  # [N, 512]
+    va, vb = vals[:, :256], vals[:, 256:]
     bits = (va < vb).astype(jnp.uint8)  # [N, 256]
     weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
     return jnp.sum(bits.reshape(n, 32, 8) * weights[None, None, :], axis=-1).astype(
@@ -360,17 +373,25 @@ def extract_batched(img, cfg: OrbConfig = OrbConfig()):
     valid_f = valid.reshape(-1)
     xy_int = xy_f.astype(jnp.int32)
 
-    # one flat gather over the padded level stack (raw + blurred)
+    # two-stage patch gather over the padded level stack (raw + blurred):
+    # whole-row gather (minor-dim contiguous, full bandwidth) then one-hot
+    # column matmul on the MXU — same trick as gather_patches_flat_multi
     blur = jax.vmap(pyr_mod.gaussian_blur)(stack)
     Hp, Wp = H0 + 2 * PR, W0 + 2 * PR
-    stack_p = jnp.pad(stack, ((0, 0), (PR, PR), (PR, PR)), mode="edge")
-    blur_p = jnp.pad(blur, ((0, 0), (PR, PR), (PR, PR)), mode="edge")
+    both = jnp.stack([stack, blur])                      # [2, Lv, H0, W0]
+    padded = jnp.pad(
+        both, ((0, 0), (0, 0), (PR, PR), (PR, PR)), mode="edge"
+    ).reshape(2, Lv * Hp, Wp)
     di = jnp.arange(PATCH)
-    offs = (di[:, None] * Wp + di[None, :]).reshape(-1)
-    base = lvl_ids * (Hp * Wp) + xy_int[:, 1] * Wp + xy_int[:, 0]
-    fidx = base[:, None] + offs[None, :]
-    raw_flat = stack_p.reshape(-1)[fidx]     # [N, 1681]
-    blur_flat = blur_p.reshape(-1)[fidx]
+    base_row = lvl_ids * Hp + xy_int[:, 1]               # [N]
+    rows = padded[:, base_row[:, None] + di[None, :], :]  # [2, N, 41, Wp]
+    onehot = (
+        xy_int[:, 0][:, None, None] + di[None, None, :]
+        == jnp.arange(Wp)[None, :, None]
+    ).astype(jnp.float32)                                # [N, Wp, 41]
+    patches = jnp.einsum("cnrw,nwk->cnrk", rows, onehot, precision="highest")
+    raw_flat = patches[0].reshape(-1, PATCH * PATCH)     # [N, 1681]
+    blur_flat = patches[1].reshape(-1, PATCH * PATCH)
 
     angles = ic_angle_flat(raw_flat)
     desc = brief_descriptors_flat(blur_flat, angles)

@@ -159,10 +159,12 @@ def match_stereo_fisheye(kind: int, K_l, K_r, R_rl, t_rl,
     points to the right camera: X_r = R_rl X_l + t_rl.
 
     Returns (depth [Nl] — z in the LEFT camera, has_depth [Nl]). There is no
-    `ur` for fisheye (no common image plane); consumers bind the depth like
-    an RGB-D measurement (the landmark seeding path) — the reference instead
-    keeps a right-camera reprojection edge (EdgeSE3ProjectXYZToBody); round-2
-    parity item.
+    `ur` for fisheye (no common image plane); the tracker binds the depth as
+    an inverse-depth measurement through the standard stereo edge
+    (ur = u - bf/z with bf from the extrinsics baseline), which constrains
+    metric depth in pose optimization and BA — the reference instead keeps a
+    right-camera reprojection edge (EdgeSE3ProjectXYZToBody); equivalent
+    constraint, different noise weighting.
     """
     from . import matching
     from . import two_view

@@ -48,6 +48,7 @@ def initial_gravity_estimate(kf_R_wb, dV_list, dT_list):
 def inertial_only_optimization(
     R_wb, t_wb, preints, prior_gyro: float = 1e2, prior_acc: float = 1e10,
     fix_scale: bool = False, iters: int = 60,
+    bg0=None, ba0=None, fix_bias: bool = False,
 ):
     """MAP estimation of (scale, Rwg, per-KF velocities, shared biases) with
     poses fixed (InertialOptimization, Optimizer.cc:3042: 200 iterations,
@@ -55,10 +56,18 @@ def inertial_only_optimization(
 
     R_wb/t_wb: [K, 3, 3]/[K, 3] world-from-body keyframe poses (visual,
     up-to-scale). preints: list of K-1 Preintegrated (i -> i+1).
+
+    bg0/ba0 warm-start the shared biases (refinement calls re-enter with the
+    current estimate; preints must be re-integrated at the same bias).
+    fix_bias freezes both biases — the scale+gravity-only variant
+    (Optimizer::InertialOptimization(Map*, scale, Rwg), Optimizer.cc:3389)
+    used by LocalMapping::ScaleRefinement (LocalMapping.cc:1429).
     Returns dict(scale, Rwg, bg, ba, velocities, stats).
     """
     Kn = R_wb.shape[0]
     n_e = Kn - 1
+    bg0 = jnp.zeros((1, 3)) if bg0 is None else jnp.reshape(bg0, (1, 3))
+    ba0 = jnp.zeros((1, 3)) if ba0 is None else jnp.reshape(ba0, (1, 3))
 
     # initial velocities from finite differences (last KF repeats previous)
     dTs = jnp.asarray([p.dT for p in preints])[:, None]
@@ -79,11 +88,11 @@ def inertial_only_optimization(
         ),
         "vel": factors.make_vec3_block(v0, jnp.zeros(Kn, bool)),
         "bg": VertexBlock(
-            state={"b": jnp.zeros((1, 3))}, fixed=jnp.zeros(1, bool),
+            state={"b": bg0}, fixed=jnp.full(1, fix_bias),
             tangent_dim=3, retract=factors.vec3_retract_b,
         ),
         "ba": VertexBlock(
-            state={"b": jnp.zeros((1, 3))}, fixed=jnp.zeros(1, bool),
+            state={"b": ba0}, fixed=jnp.full(1, fix_bias),
             tangent_dim=3, retract=factors.vec3_retract_b,
         ),
         "gdir": factors.make_gdir_block(Rwg0[None], jnp.zeros(1, bool)),

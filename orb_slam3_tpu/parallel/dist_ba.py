@@ -33,10 +33,14 @@ from ..ops import robust
 
 
 def shard_ba_problem(n_dev: int, points, point_fixed, cam_idx, lm_idx,
-                     obs_uv, obs_info, obs_mask):
+                     obs_uv, obs_info, obs_mask, edge_bucket: int = 1):
     """Host-side layout: block-partition landmarks across n_dev shards and
     route each edge to its landmark's shard. Returns numpy arrays shaped
-    [n_dev, ...] ready for shard_map, plus the padded per-shard sizes."""
+    [n_dev, ...] ready for shard_map, plus the padded per-shard sizes.
+
+    edge_bucket > 1 rounds the per-shard edge capacity up to a multiple, so
+    repeated solves with growing maps reuse the jit cache (the background
+    GBA relaunches after every loop — LoopClosing.cc:1199)."""
     L = points.shape[0]
     Lp = -(-L // n_dev)
     E = cam_idx.shape[0]
@@ -51,6 +55,7 @@ def shard_ba_problem(n_dev: int, points, point_fixed, cam_idx, lm_idx,
     owner = np.clip(lm_idx // Lp, 0, n_dev - 1)
     counts = np.bincount(owner[obs_mask], minlength=n_dev)
     Ep = max(int(counts.max()), 1)
+    Ep = -(-Ep // edge_bucket) * edge_bucket
     cam_s = np.zeros((n_dev, Ep), np.int32)
     lml_s = np.zeros((n_dev, Ep), np.int32)
     uv_s = np.zeros((n_dev, Ep, 2), np.float32)

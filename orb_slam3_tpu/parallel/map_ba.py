@@ -63,8 +63,12 @@ def extract_global_problem(s: MapState, scale_factors=None):
 
 def distributed_global_ba(s: MapState, K8, mesh: Mesh, kind: int = 0,
                           n_fixed: int = 2, num_iters: int = 10,
-                          huber_delta: float | None = 5.991 ** 0.5):
-    """Run distributed GBA on the active map; returns the updated MapState."""
+                          huber_delta: float | None = 5.991 ** 0.5,
+                          cam_bucket: int = 8, edge_bucket: int = 1024):
+    """Run distributed GBA on the active map; returns the updated MapState.
+
+    Camera/edge capacities are bucketed so repeated campaigns on a growing
+    map hit the jit cache instead of recompiling per keyframe count."""
     n_dev = int(np.prod(mesh.devices.shape))
     kf_rows, cam_idx, lm_idx, uv, info = extract_global_problem(s)
     if len(kf_rows) < 3 or len(cam_idx) == 0:
@@ -73,14 +77,22 @@ def distributed_global_ba(s: MapState, K8, mesh: Mesh, kind: int = 0,
     sharded = dist_ba.shard_ba_problem(
         n_dev, np.array(s.lm_pos), ~np.array(s.lm_valid),
         cam_idx, lm_idx, uv, info, np.ones(len(cam_idx), bool),
+        edge_bucket=edge_bucket,
     )
     res = lm_edges.make_mono_residual(kind)
 
     def ba_residual(cam_state, x, data):
         return res(cam_state, {"x": x}, data)
 
-    rows_j = jnp.asarray(kf_rows, jnp.int32)
-    fixed = jnp.arange(len(kf_rows)) < n_fixed
+    # pad the camera list to the bucket with fixed dummies (row 0 repeated;
+    # they carry no edges, so they only pin the jit shape)
+    n_real = len(kf_rows)
+    n_pad = -(-n_real // cam_bucket) * cam_bucket - n_real
+    kf_rows_p = np.concatenate([kf_rows, np.full(n_pad, kf_rows[0])])
+    rows_j = jnp.asarray(kf_rows_p, jnp.int32)
+    fixed = (jnp.arange(len(kf_rows_p)) < n_fixed) | (
+        jnp.arange(len(kf_rows_p)) >= n_real
+    )
     cam_state = {"R": s.kf_R[rows_j], "t": s.kf_t[rows_j]}
     cams_out, pts_out, costs = dist_ba.dist_ba_solve(
         mesh, ba_residual, lm_edges.se3_retract, cam_state, fixed,
@@ -89,9 +101,10 @@ def distributed_global_ba(s: MapState, K8, mesh: Mesh, kind: int = 0,
     )
     L = s.lmax
     new_points = jnp.asarray(np.asarray(pts_out).reshape(-1, 3)[:L])
+    rows_real = rows_j[:n_real]
     return dataclasses.replace(
         s,
-        kf_R=s.kf_R.at[rows_j].set(cams_out["R"]),
-        kf_t=s.kf_t.at[rows_j].set(cams_out["t"]),
+        kf_R=s.kf_R.at[rows_real].set(cams_out["R"][:n_real]),
+        kf_t=s.kf_t.at[rows_real].set(cams_out["t"][:n_real]),
         lm_pos=jnp.where(s.lm_valid[:, None], new_points, s.lm_pos),
     )

@@ -103,12 +103,15 @@ class Tracker:
         self.frames_since_kf = 0
         self.trajectory: list[FrameRecord] = []
         self.lost_count = 0
+        self.mapping_paused = False   # localization-only mode (System.cc:409)
         self._frame_ur = None
         self._frame_depth = None
         self._tracked_lms = None
         self._vi_prior = None         # ConstraintPoseImu chain (Optimizer.cc:4875)
         self._map_version = 0         # bumps on structural map updates
         self.loop_closer = None       # optional LoopCloser (attach_loop_closer)
+        self.gba = None               # background GlobalBARunner (lazy)
+        self.background_gba = True    # spawn GBA in a side thread after loops
         self.base_sensor = cfg.sensor.split("-")[0]
         self.use_imu = cfg.sensor.endswith("-imu")
         self.imu = None
@@ -214,6 +217,19 @@ class Tracker:
                 feats.xy, feats.descriptors, feats.valid,
                 feats_r.xy, feats_r.descriptors, feats_r.valid,
             )
+            # bind the triangulated depth as an inverse-depth measurement
+            # through the standard stereo edge (ur = u - bf/z, exactly how
+            # the reference binds RGB-D, Frame::ComputeStereoFromRGBD,
+            # Frame.cc:984): the stereo residual then constrains metric
+            # depth in pose optimization and BA. The reference instead uses
+            # a right-camera reprojection edge (EdgeSE3ProjectXYZToBody) —
+            # equivalent constraint, different noise weighting.
+            if self.cfg.bf > 0:
+                ur = jnp.where(
+                    depth > self.cfg.min_depth,
+                    feats.xy[:, 0] - self.cfg.bf / jnp.maximum(depth, 1e-6),
+                    -1.0,
+                )
         elif self.base_sensor == "stereo":
             feats_r = self._extract(jnp.asarray(img_right, jnp.float32))
             ur, depth, _ = stereo_mod.match_stereo(
@@ -492,7 +508,7 @@ class Tracker:
                 and n_inliers > cfg.min_inliers
             )
         )
-        if need_kf:
+        if need_kf and not self.mapping_paused:
             self._insert_keyframe(feats, timestamp, n_inliers)
         return True
 
@@ -728,9 +744,42 @@ class Tracker:
                 self.last["R"] = s.kf_R[kf]
                 self.last["t"] = s.kf_t[kf]
                 self._vi_prior = None  # gauge changed
+        elif self.imu is not None:
+            # staged refinement: VIBA1 (>5 s), VIBA2 (>15 s), mono scale
+            # refinement (~10 s cadence; LocalMapping.cc:200-242)
+            from . import vi_tracker
+
+            if vi_tracker.try_refine_imu(self):
+                s = self.map
+                self.last["R"] = s.kf_R[kf]
+                self.last["t"] = s.kf_t[kf]
+
+        # a previously launched background GBA that finished: merge its
+        # result into the live map (RunGlobalBundleAdjustment catch-up,
+        # LoopClosing.cc:2320-2494)
+        if self.gba is not None and self.gba.finished:
+            # correct the current pose through the last KF's correction
+            R_kf_old = np.array(s.kf_R[self.last_kf_row])
+            t_kf_old = np.array(s.kf_t[self.last_kf_row])
+            s = self.gba.reconcile(s)
+            R_old_i, t_old_i = lie.se3_inv(jnp.asarray(R_kf_old),
+                                           jnp.asarray(t_kf_old))
+            R_rel, t_rel = lie.se3_mul(self.last["R"], self.last["t"],
+                                       R_old_i, t_old_i)
+            self.last["R"], self.last["t"] = lie.se3_mul(
+                R_rel, t_rel, s.kf_R[self.last_kf_row],
+                s.kf_t[self.last_kf_row],
+            )
+            self.map = s
+            self.velocity = None
+            self._tracked_lms = None
+            self._vi_prior = None
+            self._map_version += 1
 
         # loop / merge detection on the fresh keyframe
         if self.loop_closer is not None:
+            merges_before = self.loop_closer.n_merges
+            loops_before = self.loop_closer.n_loops
             self.map, closed = self.loop_closer.on_keyframe(
                 self.map, kf, cfg.kind, cfg.K
             )
@@ -741,6 +790,34 @@ class Tracker:
                 self.last["t"] = s.kf_t[kf]
                 self.velocity = None
                 self._tracked_lms = None
+                self._vi_prior = None
+                # inertial merge: VI welding BA over the temporal window
+                # (MergeLocal2 -> MergeInertialBA, LoopClosing.cc:1783,
+                # Optimizer.cc:3948) — the visual weld already ran inside
+                # the loop closer; this re-solves the window with the
+                # inertial chain so velocities/biases stay consistent
+                # with the new (merged) gauge
+                if (self.loop_closer.n_merges > merges_before
+                        and self.imu is not None and self.imu.initialized):
+                    from . import vi_tracker
+
+                    n_kf = int(s.n_kf)
+                    wsz = min(n_kf, 10)
+                    rows = np.arange(n_kf - wsz, n_kf)
+                    vi_tracker.run_vi_local_ba(self, rows, n_fixed=1)
+                # after a loop correction: global BA in a side thread if the
+                # map is small enough (CorrectLoop spawns RunGlobalBundle-
+                # Adjustment when <200 KF & 1 map, LoopClosing.cc:1199-1207);
+                # a new correction aborts a still-running campaign (mbStopGBA)
+                if self.loop_closer.n_loops > loops_before:
+                    if self.gba is not None and self.gba.running:
+                        self.gba.request_abort()
+                    elif (self.background_gba and self.imu is None
+                          and int(self.map.n_kf) < 200):
+                        from ..mapping.global_ba import GlobalBARunner
+
+                        self.gba = GlobalBARunner(cfg.K, cfg.kind)
+                        self.gba.launch(self.map)
         s = self.map
         # refresh current pose from the optimized KF
         self.last["R"] = s.kf_R[kf]

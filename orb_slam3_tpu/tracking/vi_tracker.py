@@ -58,6 +58,11 @@ class ImuState:
         self._cur = ([], [], [])         # accumulating since last KF
         self._frame_meas = None          # measurements since last frame
         self.first_kf_ts = None
+        # staged-refinement bookkeeping (VIBA1 @ t>5s, VIBA2 @ t>15s, mono
+        # scale refinement ~every 10s until 75s — LocalMapping.cc:200-242)
+        self.init_ts = None              # timestamp of successful IMU init
+        self.viba_stage = 0              # 0 = init only, 1 = VIBA1, 2 = VIBA2
+        self.last_scale_refine_ts = None
 
     # ------------------------------------------------------------------
     def ingest(self, imu: np.ndarray):
@@ -152,6 +157,61 @@ class ImuState:
 # inertial initialization (LocalMapping::InitializeIMU)
 # ----------------------------------------------------------------------
 
+def _inertial_chain(tracker, bg=None, ba=None):
+    """Consecutive-KF preintegration chain over every stored interval:
+    (chain_rows, preints, R_wb, t_wb) or None if no intervals exist."""
+    imu = tracker.imu
+    s = tracker.map
+    n_kf = int(s.n_kf)
+    rows = [r for r in range(1, n_kf) if r in imu.kf_buffers]
+    if not rows:
+        return None
+    preints = [imu.preint_between(r, bg=bg, ba=ba) for r in rows]
+    chain = [rows[0] - 1] + rows
+    R_wb, t_wb = [], []
+    for r in chain:
+        Rb, tb = cam_to_body(s.kf_R[r], s.kf_t[r], imu.Rbc, imu.tbc)
+        R_wb.append(Rb)
+        t_wb.append(tb)
+    return chain, preints, jnp.stack(R_wb), jnp.stack(t_wb)
+
+
+def _apply_inertial_solution(tracker, out, chain, update_bias=True):
+    """Gauge transform + state writes shared by init and the VIBA/scale
+    refinements (ApplyScaledRotation + UpdateFrameIMU,
+    LocalMapping.cc:1281-1295)."""
+    imu = tracker.imu
+    s = tracker.map
+    scale = float(out["scale"])
+    Ryw = out["Rwg"].T
+    s2 = atlas_ops.apply_scaled_rotation(
+        s, Ryw, jnp.asarray(scale), s.active_map
+    )
+    # velocities into the new frame; store on the chain KFs
+    v_new = scale * jnp.einsum("ij,kj->ki", Ryw, out["velocities"])
+    kf_vel = s2.kf_vel
+    for i, r in enumerate(chain):
+        kf_vel = kf_vel.at[r].set(v_new[i])
+    s2 = dataclasses.replace(s2, kf_vel=kf_vel)
+    if update_bias:
+        s2 = dataclasses.replace(
+            s2,
+            kf_bg=jnp.tile(out["bg"][None], (s2.kmax, 1)),
+            kf_ba=jnp.tile(out["ba"][None], (s2.kmax, 1)),
+        )
+        imu.bg = out["bg"]
+        imu.ba = out["ba"]
+    tracker.map = s2
+    imu.vel = v_new[-1]
+    # current tracked pose also transforms
+    if tracker.last is not None:
+        R_l, t_l = tracker.last["R"], tracker.last["t"]
+        tracker.last["R"] = R_l @ Ryw.T
+        tracker.last["t"] = scale * t_l
+    tracker.velocity = None
+    tracker._vi_prior = None  # gauge changed
+
+
 def try_initialize_imu(tracker, min_kfs: int = 5, min_time: float = 1.0):
     """Run inertial-only MAP + gauge transform when enough baseline exists.
     Mutates tracker.map and tracker.imu. Returns True on success."""
@@ -164,21 +224,10 @@ def try_initialize_imu(tracker, min_kfs: int = 5, min_time: float = 1.0):
     if ts_now - imu.first_kf_ts < min_time:
         return False
 
-    # consecutive-KF preintegrations (skip row 0 — no interval before it)
-    rows = [r for r in range(1, n_kf) if r in imu.kf_buffers]
-    if len(rows) < min_kfs - 1:
+    chain_out = _inertial_chain(tracker)
+    if chain_out is None or len(chain_out[0]) < min_kfs:
         return False
-    preints = [imu.preint_between(r) for r in rows]
-
-    # body poses of the chain KFs
-    chain = [rows[0] - 1] + rows
-    R_wb, t_wb = [], []
-    for r in chain:
-        Rb, tb = cam_to_body(s.kf_R[r], s.kf_t[r], imu.Rbc, imu.tbc)
-        R_wb.append(Rb)
-        t_wb.append(tb)
-    R_wb = jnp.stack(R_wb)
-    t_wb = jnp.stack(t_wb)
+    chain, preints, R_wb, t_wb = chain_out
 
     fix_scale = tracker.cfg.sensor in ("stereo-imu", "rgbd-imu")
     out = initialization.inertial_only_optimization(
@@ -188,34 +237,78 @@ def try_initialize_imu(tracker, min_kfs: int = 5, min_time: float = 1.0):
     if scale <= 1e-2:
         return False
 
-    # gauge transform: rotate gravity onto -z and make the map metric
-    # (ApplyScaledRotation + UpdateFrameIMU, LocalMapping.cc:1281-1295)
-    Ryw = out["Rwg"].T
-    s2 = atlas_ops.apply_scaled_rotation(
-        s, Ryw, jnp.asarray(scale), s.active_map
-    )
-    # velocities into the new frame; store on the chain KFs
-    v_new = scale * jnp.einsum("ij,kj->ki", Ryw, out["velocities"])
-    kf_vel = s2.kf_vel
-    for i, r in enumerate(chain):
-        kf_vel = kf_vel.at[r].set(v_new[i])
-    s2 = dataclasses.replace(
-        s2,
-        kf_vel=kf_vel,
-        kf_bg=jnp.tile(out["bg"][None], (s2.kmax, 1)),
-        kf_ba=jnp.tile(out["ba"][None], (s2.kmax, 1)),
-    )
-    tracker.map = s2
-    imu.bg = out["bg"]
-    imu.ba = out["ba"]
-    imu.vel = v_new[-1]
+    _apply_inertial_solution(tracker, out, chain)
     imu.initialized = True
-    # current tracked pose also transforms
-    if tracker.last is not None:
-        R_l, t_l = tracker.last["R"], tracker.last["t"]
-        tracker.last["R"] = R_l @ Ryw.T
-        tracker.last["t"] = scale * t_l
-    tracker.velocity = None
+    imu.init_ts = ts_now
+    imu.viba_stage = 0
+    imu.last_scale_refine_ts = ts_now
+    return True
+
+
+def try_refine_imu(tracker):
+    """Staged post-init refinement (LocalMapping::Run, LocalMapping.cc:
+    200-242): VIBA1 re-runs the inertial MAP with relaxed priors at
+    tinit > 5 s (priorG=1, priorA=1e5), VIBA2 with no bias priors at
+    tinit > 15 s; monocular-inertial additionally runs scale+gravity-only
+    refinement (ScaleRefinement, LocalMapping.cc:1429) every ~10 s until
+    tinit > 75 s. Returns True if the map was retransformed."""
+    imu = tracker.imu
+    s = tracker.map
+    if not imu.initialized or imu.init_ts is None:
+        return False
+    n_kf = int(s.n_kf)
+    ts_now = float(s.kf_timestamp[n_kf - 1])
+    tinit = ts_now - imu.init_ts
+
+    stage_prior = None
+    if imu.viba_stage == 0 and tinit > 5.0:
+        stage_prior = (1.0, 1e5)        # VIBA1 (LocalMapping.cc:207)
+    elif imu.viba_stage == 1 and tinit > 15.0:
+        stage_prior = (0.0, 0.0)        # VIBA2 (:221)
+
+    mono = tracker.cfg.sensor == "mono-imu"
+    want_scale_refine = (
+        mono and stage_prior is None and imu.viba_stage >= 1
+        and tinit < 75.0
+        and ts_now - (imu.last_scale_refine_ts or ts_now) > 10.0
+    )
+    if stage_prior is None and not want_scale_refine:
+        return False
+
+    chain_out = _inertial_chain(tracker, bg=imu.bg, ba=imu.ba)
+    if chain_out is None or len(chain_out[0]) < 4:
+        return False
+    chain, preints, R_wb, t_wb = chain_out
+    fix_scale_sensor = tracker.cfg.sensor in ("stereo-imu", "rgbd-imu")
+
+    if stage_prior is not None:
+        pg, pa = stage_prior
+        out = initialization.inertial_only_optimization(
+            R_wb, t_wb, preints,
+            prior_gyro=max(pg, 1e-6), prior_acc=max(pa, 1e-6),
+            fix_scale=fix_scale_sensor,
+            bg0=imu.bg, ba0=imu.ba,
+        )
+        scale = float(out["scale"])
+        if scale <= 1e-2 or not np.isfinite(scale):
+            return False
+        _apply_inertial_solution(tracker, out, chain)
+        imu.viba_stage += 1
+        return True
+
+    # mono scale refinement: biases frozen, scale + gravity direction only
+    out = initialization.inertial_only_optimization(
+        R_wb, t_wb, preints, bg0=imu.bg, ba0=imu.ba, fix_bias=True,
+        iters=30,
+    )
+    imu.last_scale_refine_ts = ts_now
+    scale = float(out["scale"])
+    if scale <= 1e-2 or not np.isfinite(scale):
+        return False
+    # apply only a meaningful correction (reference: |s-1| > 1e-5)
+    if abs(scale - 1.0) < 1e-5:
+        return False
+    _apply_inertial_solution(tracker, out, chain, update_bias=False)
     return True
 
 

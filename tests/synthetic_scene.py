@@ -138,3 +138,35 @@ def orbit_trajectory(n_frames=50, radius=0.04, advance=0.035, yaw_rate=0.004):
         Rs.append(R_cw)
         ts.append(t_cw)
     return np.stack(Rs), np.stack(ts)
+
+
+def render_kb8(scene, K8_params, img_wh, R_cw, t_cw, unproject_fn):
+    """Backward-map fisheye (KB8) render of a PlaneScene: unproject every
+    pixel, intersect the textured planes far-to-near, sample bilinearly."""
+    import cv2 as _cv2
+    import numpy as _np
+
+    w, h = img_wh
+    us, vs = _np.meshgrid(_np.arange(w), _np.arange(h))
+    uv = _np.stack([us, vs], -1).reshape(-1, 2).astype(_np.float32)
+    rays = _np.asarray(unproject_fn(K8_params, uv)).reshape(h, w, 3)
+    R_wc = R_cw.T
+    c = -R_wc @ t_cw
+    rays_w = rays @ R_wc.T
+    img = _np.zeros((h, w), _np.float32)
+    for pl in scene.planes:
+        rz = rays_w[..., 2]
+        lam = (pl["z"] - c[2]) / _np.where(_np.abs(rz) < 1e-9, 1e-9, rz)
+        Xw = c[None, None, :] + lam[..., None] * rays_w
+        inside = (
+            (lam > 0)
+            & (Xw[..., 0] >= pl["x0"]) & (Xw[..., 0] <= pl["x1"])
+            & (Xw[..., 1] >= pl["y0"]) & (Xw[..., 1] <= pl["y1"])
+        )
+        size = pl["tex"].shape[0]
+        tx = (Xw[..., 0] - pl["x0"]) / (pl["x1"] - pl["x0"]) * (size - 1)
+        ty = (Xw[..., 1] - pl["y0"]) / (pl["y1"] - pl["y0"]) * (size - 1)
+        samp = _cv2.remap(pl["tex"], tx.astype(_np.float32),
+                          ty.astype(_np.float32), _cv2.INTER_LINEAR)
+        img = _np.where(inside, samp, img)
+    return img

@@ -701,13 +701,18 @@ class Tracker:
                 self.scale_factors,
             )
 
-        # local BA: free window = last `local_window` KFs; fixed frontier =
-        # up to 4 earlier KFs kept as anchored cameras WITH their edges
-        # (Optimizer::LocalBundleAdjustment's lFixedCameras,
-        # Optimizer.cc:1118-1186) — dropping them caused scale drift
+        # local BA: free window = last `local_window` valid KFs of the
+        # active map; fixed frontier = up to 4 earlier KFs kept as anchored
+        # cameras WITH their edges (Optimizer::LocalBundleAdjustment's
+        # lFixedCameras, Optimizer.cc:1118-1186) — dropping them caused
+        # scale drift. Valid-row selection skips culled keyframes.
         w = cfg.local_window
-        n_rows = min(n_kf, w + 4)
-        rows = np.arange(n_kf - n_rows, n_kf)
+        valid_rows = np.nonzero(
+            np.array(s.kf_valid)
+            & (np.array(s.kf_map_id) == int(s.active_map))
+        )[0]
+        n_rows = min(len(valid_rows), w + 4)
+        rows = valid_rows[-n_rows:]
         n_fixed = max(2, n_rows - w) if n_rows > 2 else 1
         rows = np.concatenate([rows, np.full((w + 4) - len(rows), rows[-1])])
         ran_vi_ba = False
@@ -725,14 +730,22 @@ class Tracker:
                 stereo=(self.base_sensor != "mono"), bf=cfg.bf,
             )
         s = local_mapper.cull_landmarks(s)
-        # keyframe culling over the recent window (LocalMapping::KeyFrameCulling);
-        # skipped for inertial maps (temporal-chain preservation: round 2)
+        # keyframe culling over the recent window (LocalMapping::KeyFrameCulling)
         if self.imu is None and int(s.n_kf) > w + 4:
             s = local_mapper.cull_keyframes(
                 s, jnp.asarray(rows[: w + 4], jnp.int32)
             )
         s = atlas_state.update_landmark_stats(s)
         self.map = s
+        # inertial culling preserves the temporal chain and merges the
+        # culled KF's preintegration interval into its successor
+        # (LocalMapping.cc:1020-1041)
+        if (self.imu is not None and self.imu.initialized
+                and int(s.n_kf) > w + 4):
+            from . import vi_tracker
+
+            if vi_tracker.cull_keyframes_inertial(self, rows[: w + 4]):
+                s = self.map
 
         # inertial initialization once enough baseline exists
         # (LocalMapping::InitializeIMU trigger, LocalMapping.cc:181-187)

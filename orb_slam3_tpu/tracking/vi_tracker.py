@@ -158,16 +158,29 @@ class ImuState:
 # ----------------------------------------------------------------------
 
 def _inertial_chain(tracker, bg=None, ba=None):
-    """Consecutive-KF preintegration chain over every stored interval:
-    (chain_rows, preints, R_wb, t_wb) or None if no intervals exist."""
+    """Temporal-chain preintegration intervals (buffer r covers
+    kf_prev[r] -> r): (chain_rows, preints, R_wb, t_wb) or None. The chain
+    follows mPrevKF links so it stays connected across culled keyframes."""
     imu = tracker.imu
     s = tracker.map
     n_kf = int(s.n_kf)
-    rows = [r for r in range(1, n_kf) if r in imu.kf_buffers]
+    kf_prev = np.array(s.kf_prev)
+    kf_valid = np.array(s.kf_valid)
+    rows = [r for r in range(1, n_kf)
+            if r in imu.kf_buffers and kf_valid[r]
+            and kf_prev[r] >= 0 and kf_valid[kf_prev[r]]]
+    # keep only the connected suffix (each interval must start where the
+    # previous one ended)
+    connected = []
+    for r in rows:
+        if connected and kf_prev[r] != connected[-1]:
+            connected = []
+        connected.append(r)
+    rows = connected
     if not rows:
         return None
     preints = [imu.preint_between(r, bg=bg, ba=ba) for r in rows]
-    chain = [rows[0] - 1] + rows
+    chain = [int(kf_prev[rows[0]])] + rows
     R_wb, t_wb = [], []
     for r in chain:
         Rb, tb = cam_to_body(s.kf_R[r], s.kf_t[r], imu.Rbc, imu.tbc)
@@ -312,6 +325,92 @@ def try_refine_imu(tracker):
     return True
 
 
+def cull_keyframes_inertial(tracker, window_rows, min_redundancy: float = 0.9):
+    """KeyFrameCulling for inertial maps (LocalMapping.cc:902-1041): the
+    usual redundancy test (>=90 % of bound landmarks seen by >=3 other KFs;
+    50 % for stereo-inertial per :912-918), PLUS temporal-chain rules — a
+    keyframe may only be culled if the chain gap it leaves stays below
+    3 s (mono-inertial) / 0.5 s (stereo/rgbd-inertial), and its IMU
+    preintegration interval is merged into its successor's
+    (Preintegrated::MergePrevious, ImuTypes.cc:237)."""
+    s = tracker.map
+    imu = tracker.imu
+    if tracker.cfg.sensor == "mono-imu":
+        max_gap = 3.0
+    else:
+        max_gap = 0.5
+        min_redundancy = 0.5
+    L, K = s.lmax, s.kmax
+    n_kf = int(s.n_kf)
+    lm_all = np.array(s.kf_feat_lm)
+    fv_all = np.array(s.kf_feat_valid)
+    obs_cnt = np.zeros(L, np.int64)
+    bound_all = (lm_all >= 0) & fv_all
+    np.add.at(obs_cnt, np.clip(lm_all, 0, L - 1)[bound_all], 1)
+    kf_valid = np.array(s.kf_valid)
+    kf_prev = np.array(s.kf_prev)
+    ts = np.array(s.kf_timestamp)
+
+    # temporal successor: row r with kf_prev[r] == k
+    next_of = -np.ones(K, np.int32)
+    for r in range(n_kf):
+        p = kf_prev[r]
+        if p >= 0:
+            next_of[p] = r
+
+    rows = [int(r) for r in np.asarray(window_rows)]
+    killed = []
+    for k in rows:
+        if k <= 1 or k >= n_kf - 2 or not kf_valid[k]:
+            continue
+        p, nx = kf_prev[k], next_of[k]
+        if p < 0 or nx < 0 or not (kf_valid[p] and kf_valid[nx]):
+            continue
+        if ts[nx] - ts[p] >= max_gap:
+            continue
+        bound = bound_all[k]
+        nb = int(bound.sum())
+        if nb <= 10:
+            continue
+        frac = float((obs_cnt[np.clip(lm_all[k], 0, L - 1)][bound] >= 4).mean())
+        if frac <= min_redundancy:
+            continue
+        # merge the IMU interval (prev->k) into (k->next)
+        if k in imu.kf_buffers and nx in imu.kf_buffers:
+            a1, g1, d1 = imu.kf_buffers.pop(k)
+            a2, g2, d2 = imu.kf_buffers[nx]
+            imu.kf_buffers[nx] = (
+                np.concatenate([a1, a2]), np.concatenate([g1, g2]),
+                np.concatenate([d1, d2]),
+            )
+        elif k in imu.kf_buffers:
+            imu.kf_buffers[nx] = imu.kf_buffers.pop(k)
+        kf_prev[nx] = p
+        next_of[p] = nx
+        kf_valid[k] = False
+        killed.append(k)
+
+    if not killed:
+        return False
+    killed_rows = jnp.asarray(killed, jnp.int32)
+    killed_mask = jnp.zeros((K,), bool).at[killed_rows].set(True)
+    detach = killed_mask[:, None] & (s.kf_feat_lm >= 0)
+    parent_of = s.kf_parent
+    new_parent = jnp.where(
+        killed_mask[jnp.clip(parent_of, 0, K - 1)] & (parent_of >= 0),
+        parent_of[jnp.clip(parent_of, 0, K - 1)],
+        parent_of,
+    )
+    tracker.map = dataclasses.replace(
+        s,
+        kf_valid=jnp.asarray(kf_valid),
+        kf_prev=jnp.asarray(kf_prev),
+        kf_feat_lm=jnp.where(detach, -1, s.kf_feat_lm),
+        kf_parent=new_parent,
+    )
+    return True
+
+
 # ----------------------------------------------------------------------
 # VI local BA dispatch
 # ----------------------------------------------------------------------
@@ -333,11 +432,14 @@ def run_vi_local_ba(tracker, window_rows: np.ndarray, n_fixed: int):
         lambda R, t: cam_to_body(R, t, imu.Rbc, imu.tbc)
     )(s.kf_R[jnp.asarray(rows)], s.kf_t[jnp.asarray(rows)])
 
-    # inertial intervals between consecutive window rows
+    # inertial intervals between temporally-chained window rows (buffer r
+    # covers kf_prev[r] -> r; culling merges intervals, so adjacency is by
+    # mPrevKF link, not arena row)
+    kf_prev_np = np.array(s.kf_prev)
     preints = []
     ok_chain = []
     for i in range(W - 1):
-        if rows[i + 1] == rows[i] + 1:
+        if kf_prev_np[rows[i + 1]] == rows[i]:
             p = imu.preint_between(rows[i + 1], bg=s.kf_bg[rows[i]],
                                    ba=s.kf_ba[rows[i]])
             preints.append(p)

@@ -45,10 +45,80 @@ def initial_gravity_estimate(kf_R_wb, dV_list, dT_list):
     return lie.so3_exp(axis * ang)
 
 
+def linear_alignment(R_wb, t_wb, preints):
+    """Closed-form visual-inertial alignment, errors-in-variables correct.
+
+    With poses fixed and biases zero, parameterize in VISUAL units with
+    q = 1/s, w_i = visual-frame velocities, h = visual-frame gravity
+    (magnitude G/s). The preintegration equations become exactly linear:
+
+        ep_i: dp_i - w_i dT - 0.5 h dT^2 - q R_i dP_i = n_i   (visual noise)
+        ev_i: w_{i+1} - w_i - h dT - q R_i dV_i       = 0     (exact)
+
+    Crucially the noisy visual displacement dp_i appears as the OBSERVATION
+    (left-hand side), not as a regressor: ordinary least squares is then
+    unbiased. The classic parameterization (s multiplying dp, as in the
+    reference's EdgeInertialGS and in VINS-style alignment) suffers
+    regressor-noise attenuation — the scale estimate is biased toward zero
+    by exactly the mechanism that also makes the MAP optimization
+    (inertial_only_optimization) collapse the scale when visual noise is
+    non-negligible. ||h|| = G/s gives a second, independent scale estimate;
+    agreement between 1/q and G/||h|| is the health check the caller gates
+    initialization on. The reference has no counterpart (g2o starts at s=1
+    and relies on well-excited data, LocalMapping.cc:1173-1427).
+
+    Returns (scale, scale_q, Rwg [3,3], velocities_visual [K,3]) where
+    scale = G/||h|| (robust), scale_q = 1/q (consistency witness), and
+    velocities are in visual units (matching inertial_gs_residual's GS
+    parameterization).
+    """
+    R = np.asarray(R_wb, np.float64)
+    p = np.asarray(t_wb, np.float64)
+    Kn = R.shape[0]
+    n_e = Kn - 1
+    nx = 3 * Kn + 4          # w (3K), h (3), q (1)
+    W_EV = 10.0              # ev rows are exact constraints — weight up
+    A = np.zeros((6 * n_e, nx))
+    rhs = np.zeros(6 * n_e)
+    I3 = np.eye(3)
+    for i in range(n_e):
+        dT = float(preints[i].dT)
+        dV = np.asarray(preints[i].dV, np.float64)
+        dP = np.asarray(preints[i].dP, np.float64)
+        r0 = 6 * i
+        A[r0:r0 + 3, 3 * i:3 * i + 3] = I3 * dT
+        A[r0:r0 + 3, 3 * Kn:3 * Kn + 3] = I3 * (0.5 * dT * dT)
+        A[r0:r0 + 3, 3 * Kn + 3] = R[i] @ dP
+        rhs[r0:r0 + 3] = p[i + 1] - p[i]
+        r1 = r0 + 3
+        A[r1:r1 + 3, 3 * (i + 1):3 * (i + 1) + 3] = I3 * W_EV
+        A[r1:r1 + 3, 3 * i:3 * i + 3] = -I3 * W_EV
+        A[r1:r1 + 3, 3 * Kn:3 * Kn + 3] = -I3 * (dT * W_EV)
+        A[r1:r1 + 3, 3 * Kn + 3] = -(R[i] @ dV) * W_EV
+    x, *_ = np.linalg.lstsq(A, rhs, rcond=None)
+    h = x[3 * Kn:3 * Kn + 3]
+    q = float(x[-1])
+    nh = float(np.linalg.norm(h))
+    scale = GRAVITY / max(nh, 1e-9)
+    scale_q = 1.0 / q if abs(q) > 1e-9 else np.inf
+
+    # Rwg rotating [0,0,-G] onto the visual gravity direction h
+    gI = np.array([0.0, 0.0, -1.0])
+    gn = h / max(nh, 1e-9)
+    v = np.cross(gI, gn)
+    nv = np.linalg.norm(v)
+    ang = float(np.arctan2(nv, gI @ gn))
+    axis = v / nv if nv > 1e-9 else np.array([1.0, 0.0, 0.0])
+    Rwg = lie.so3_exp(jnp.asarray(axis * ang))
+    v_vis = jnp.asarray(x[:3 * Kn].reshape(Kn, 3), jnp.float32)
+    return scale, scale_q, Rwg, v_vis
+
+
 def inertial_only_optimization(
     R_wb, t_wb, preints, prior_gyro: float = 1e2, prior_acc: float = 1e10,
     fix_scale: bool = False, iters: int = 60,
     bg0=None, ba0=None, fix_bias: bool = False,
+    s0=None, Rwg0=None, v0=None,
 ):
     """MAP estimation of (scale, Rwg, per-KF velocities, shared biases) with
     poses fixed (InertialOptimization, Optimizer.cc:3042: 200 iterations,
@@ -62,6 +132,8 @@ def inertial_only_optimization(
     fix_bias freezes both biases — the scale+gravity-only variant
     (Optimizer::InertialOptimization(Map*, scale, Rwg), Optimizer.cc:3389)
     used by LocalMapping::ScaleRefinement (LocalMapping.cc:1429).
+    s0/Rwg0/v0 warm-start scale, gravity rotation, and velocities
+    (typically from linear_alignment).
     Returns dict(scale, Rwg, bg, ba, velocities, stats).
     """
     Kn = R_wb.shape[0]
@@ -70,14 +142,17 @@ def inertial_only_optimization(
     ba0 = jnp.zeros((1, 3)) if ba0 is None else jnp.reshape(ba0, (1, 3))
 
     # initial velocities from finite differences (last KF repeats previous)
-    dTs = jnp.asarray([p.dT for p in preints])[:, None]
-    v_mid = (t_wb[1:] - t_wb[:-1]) / jnp.maximum(dTs, 1e-3)
-    v0 = jnp.concatenate([v_mid, v_mid[-1:]], axis=0)  # [K, 3]
+    if v0 is None:
+        dTs = jnp.asarray([p.dT for p in preints])[:, None]
+        v_mid = (t_wb[1:] - t_wb[:-1]) / jnp.maximum(dTs, 1e-3)
+        v0 = jnp.concatenate([v_mid, v_mid[-1:]], axis=0)  # [K, 3]
 
-    Rwg0 = initial_gravity_estimate(
-        [R_wb[i] for i in range(n_e)], [p.dV for p in preints],
-        [p.dT for p in preints],
-    )
+    if Rwg0 is None:
+        Rwg0 = initial_gravity_estimate(
+            [R_wb[i] for i in range(n_e)], [p.dV for p in preints],
+            [p.dT for p in preints],
+        )
+    s_init = jnp.ones((1,)) if s0 is None else jnp.asarray([s0], jnp.float32)
 
     blocks = {
         "pose": VertexBlock(
@@ -97,7 +172,7 @@ def inertial_only_optimization(
         ),
         "gdir": factors.make_gdir_block(Rwg0[None], jnp.zeros(1, bool)),
         "scale": factors.make_scale_block(
-            jnp.ones((1,)), jnp.asarray([fix_scale])
+            s_init, jnp.asarray([fix_scale])
         ),
     }
 

@@ -318,8 +318,14 @@ class Tracker:
         s, kf1 = atlas_ops.add_keyframe(
             s, jnp.asarray(R), jnp.asarray(t), timestamp,
             feats.xy, feats.octave, feats.angle, feats.descriptors, feats.valid,
-            parent=kf0,
+            parent=kf0, prev=kf0,
         )
+        # the IMU interval for kf1 is exactly (ref_ts, timestamp]; the
+        # backlog recorded before the reference frame precedes the map
+        if self.imu is not None:
+            self.imu.trim_before(ref_ts)
+            self.imu.first_kf_ts = ref_ts
+            self.imu.commit_keyframe(int(kf1), timestamp)
         # new landmarks bound to ref-frame features; then observe from kf1
         accept = jnp.asarray(good) & ok
         s, rows = atlas_ops.add_landmarks(
@@ -391,6 +397,10 @@ class Tracker:
             jnp.arange(X.shape[0], dtype=jnp.int32),
         )
         s = atlas_state.update_landmark_stats(s)
+        # IMU intervals start at this keyframe; the pre-map backlog is dropped
+        if self.imu is not None:
+            self.imu.trim_before(timestamp)
+            self.imu.first_kf_ts = timestamp
         self.map = s
         self.state = OK
         self.last = {"R": jnp.eye(3), "t": jnp.zeros(3), "feats": feats,

@@ -55,7 +55,7 @@ class ImuState:
         self.ba = jnp.zeros(3)
         self.vel = jnp.zeros(3)          # current body velocity (world)
         self.kf_buffers = {}             # kf_row -> (accs, gyros, dts) since PREV kf
-        self._cur = ([], [], [])         # accumulating since last KF
+        self._cur = ([], [], [], [])     # (acc, gyro, dts, ts) since last KF
         self._frame_meas = None          # measurements since last frame
         self.first_kf_ts = None
         # staged-refinement bookkeeping (VIBA1 @ t>5s, VIBA2 @ t>15s, mono
@@ -76,10 +76,11 @@ class ImuState:
         gyro = imu[:, 1:4]
         acc = imu[:, 4:7]
         self._frame_meas = (acc, gyro, dts)
-        a, g, d = self._cur
+        a, g, d, tl = self._cur
         a.append(acc)
         g.append(gyro)
         d.append(dts)
+        tl.append(ts)
 
     def preint_frame(self):
         """Preintegration over the measurements since the last frame,
@@ -95,7 +96,7 @@ class ImuState:
         """Preintegration over ALL measurements since the last committed
         keyframe (mpImuPreintegratedFromLastKF, Tracking.cc:1624-1735) —
         the inertial edge of PoseInertialOptimizationLastKeyFrame."""
-        a, g, d = self._cur
+        a, g, d, _ = self._cur
         if not a:
             return None
         acc = np.concatenate(a)
@@ -122,14 +123,31 @@ class ImuState:
 
     def commit_keyframe(self, kf_row: int, timestamp: float):
         """Snapshot the since-last-KF buffer for this keyframe interval."""
-        a, g, d = self._cur
+        a, g, d, _ = self._cur
         if a:
             self.kf_buffers[kf_row] = (
                 np.concatenate(a), np.concatenate(g), np.concatenate(d)
             )
-        self._cur = ([], [], [])
+        self._cur = ([], [], [], [])
         if self.first_kf_ts is None:
             self.first_kf_ts = timestamp
+
+    def trim_before(self, t0: float):
+        """Drop accumulated measurements at or before t0. Map initialization
+        commits its first keyframe at the REFERENCE frame's timestamp; the
+        backlog recorded while the tracker was searching for an
+        initialization pair precedes the map and must not leak into the
+        first preintegration interval (the reference starts
+        mpImuPreintegratedFromLastKF fresh at KF creation,
+        Tracking.cc:2526-2660)."""
+        a, g, d, tl = self._cur
+        if not a:
+            return
+        acc, gyro, dts, ts = (np.concatenate(x) for x in (a, g, d, tl))
+        keep = ts > t0 + 1e-9
+        self._cur = (
+            [acc[keep]], [gyro[keep]], [dts[keep]], [ts[keep]]
+        ) if keep.any() else ([], [], [], [])
 
     def preint_between(self, kf_row: int, bg=None, ba=None):
         """(Re-)integrate the stored interval ending at kf_row
@@ -225,11 +243,24 @@ def _apply_inertial_solution(tracker, out, chain, update_bias=True):
     tracker._vi_prior = None  # gauge changed
 
 
-def try_initialize_imu(tracker, min_kfs: int = 5, min_time: float = 1.0):
+def try_initialize_imu(tracker, min_kfs: int | None = None,
+                       min_time: float | None = None):
     """Run inertial-only MAP + gauge transform when enough baseline exists.
-    Mutates tracker.map and tracker.imu. Returns True on success."""
+    Mutates tracker.map and tracker.imu. Returns True on success.
+
+    Gates follow the reference (LocalMapping::InitializeIMU,
+    LocalMapping.cc:1178-1189): >=10 keyframes; 2 s of data for monocular
+    (scale is free and needs excitation), 1 s otherwise. Monocular warm-
+    starts the MAP from the closed-form linear alignment and rejects a MAP
+    solution that ran away from it (scale collapse under visual noise —
+    see initialization.linear_alignment)."""
     imu = tracker.imu
     s = tracker.map
+    mono = tracker.cfg.sensor == "mono-imu"
+    if min_kfs is None:
+        min_kfs = 10
+    if min_time is None:
+        min_time = 2.0 if mono else 1.0
     n_kf = int(s.n_kf)
     if imu.initialized or n_kf < min_kfs or imu.first_kf_ts is None:
         return False
@@ -243,10 +274,29 @@ def try_initialize_imu(tracker, min_kfs: int = 5, min_time: float = 1.0):
     chain, preints, R_wb, t_wb = chain_out
 
     fix_scale = tracker.cfg.sensor in ("stereo-imu", "rgbd-imu")
+    s_lin = Rwg_lin = v_lin = None
+    if not fix_scale:
+        s_lin, s_q, Rwg_lin, v_lin = initialization.linear_alignment(
+            R_wb, t_wb, preints
+        )
+        if not np.isfinite(s_lin) or s_lin <= 1e-2:
+            return False
+        # the two independent scale reads (gravity magnitude vs direct
+        # coefficient) must agree, else the data is still too thin —
+        # postpone initialization
+        if not (np.isfinite(s_q) and 0.5 < s_q / s_lin < 2.0):
+            return False
     out = initialization.inertial_only_optimization(
         R_wb, t_wb, preints, fix_scale=fix_scale,
+        s0=s_lin, Rwg0=Rwg_lin, v0=v_lin,
     )
     scale = float(out["scale"])
+    if not fix_scale and not (s_lin / 3.0 < scale < s_lin * 3.0):
+        # MAP walked off the convex solution (visual-noise scale collapse);
+        # keep the linear gauge, take only the well-observed biases from MAP
+        out = dict(out, scale=jnp.asarray(s_lin), Rwg=Rwg_lin,
+                   velocities=v_lin)
+        scale = s_lin
     if scale <= 1e-2:
         return False
 
@@ -303,7 +353,9 @@ def try_refine_imu(tracker):
             bg0=imu.bg, ba0=imu.ba,
         )
         scale = float(out["scale"])
-        if scale <= 1e-2 or not np.isfinite(scale):
+        # the map is already metric: a refinement scale far from 1 is the
+        # visual-noise collapse mode, not a correction — reject it
+        if scale <= 1e-2 or not np.isfinite(scale) or not (0.5 < scale < 2.0):
             return False
         _apply_inertial_solution(tracker, out, chain)
         imu.viba_stage += 1
@@ -316,7 +368,7 @@ def try_refine_imu(tracker):
     )
     imu.last_scale_refine_ts = ts_now
     scale = float(out["scale"])
-    if scale <= 1e-2 or not np.isfinite(scale):
+    if scale <= 1e-2 or not np.isfinite(scale) or not (0.5 < scale < 2.0):
         return False
     # apply only a meaningful correction (reference: |s-1| > 1e-5)
     if abs(scale - 1.0) < 1e-5:

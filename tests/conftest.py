@@ -9,6 +9,10 @@ import. XLA_FLAGS must still be set before the CPU backend initializes.
 
 import os
 
+# silence XLA:CPU AOT cache-loader machine-feature warnings (cosmetic; the
+# cached artifacts load and run fine)
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -97,3 +97,42 @@ def test_inertial_init_recovers_scale_and_gravity():
 
     # biases near zero (unbiased simulation)
     assert float(jnp.linalg.norm(out["bg"])) < 0.01
+
+
+def test_linear_alignment_recovers_scale_under_pose_noise():
+    """The errors-in-variables-correct closed-form alignment must stay
+    unbiased when the visual translations carry noise — the regime where
+    the MAP formulation (scale multiplying the noisy displacement,
+    Optimizer.cc:3042 EdgeInertialGS) attenuates the scale toward zero."""
+    kf_states, meas = simulate_vi(n_kf=10, kf_dt=0.3)
+
+    preints = []
+    for m in meas:
+        accs = jnp.asarray(np.stack([x[0] for x in m]), jnp.float32)
+        gyros = jnp.asarray(np.stack([x[1] for x in m]), jnp.float32)
+        dts = jnp.asarray(np.array([x[2] for x in m]), jnp.float32)
+        preints.append(
+            pre.integrate(accs, gyros, dts, jnp.ones(len(m)),
+                          jnp.zeros(3), jnp.zeros(3), **NOISE)
+        )
+
+    s_true = 6.0
+    Rmis = np.array(lie.so3_exp(jnp.array([0.1, -0.2, 0.25])))
+    rng = np.random.default_rng(7)
+    R_wb = jnp.asarray(
+        np.stack([Rmis @ st[0] for st in kf_states]), jnp.float32
+    )
+    # 10 % relative translation noise — the level the synthetic SLAM
+    # drives actually produce
+    t_clean = np.stack([(Rmis @ st[1]) / s_true for st in kf_states])
+    step = np.median(np.linalg.norm(np.diff(t_clean, axis=0), axis=1))
+    t_noisy = t_clean + rng.normal(0, 0.1 * step, t_clean.shape)
+    t_wb = jnp.asarray(t_noisy, jnp.float32)
+
+    s, s_q, Rwg, v_vis = initialization.linear_alignment(R_wb, t_wb, preints)
+    assert abs(s - s_true) / s_true < 0.15, (s, s_q)
+    assert abs(s_q - s_true) / s_true < 0.3, (s, s_q)
+    g_est = np.array(Rwg @ jnp.array([0.0, 0.0, -pre.GRAVITY]))
+    g_true = Rmis @ np.array([0.0, 0.0, -pre.GRAVITY])
+    cos = g_est @ g_true / (np.linalg.norm(g_est) * np.linalg.norm(g_true))
+    assert cos > 0.995, (g_est, g_true)

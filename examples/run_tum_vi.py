@@ -1,11 +1,12 @@
 #!/usr/bin/env python
-"""EuRoC ASL driver (role of Examples/Monocular/mono_euroc.cc,
-Examples/Stereo/stereo_euroc.cc, Examples/Monocular-Inertial/
-mono_inertial_euroc.cc in the reference).
+"""TUM-VI driver (role of Examples/Monocular-Inertial/mono_inertial_tum_vi.cc
+and Examples/Stereo-Inertial/stereo_inertial_tum_vi.cc in the reference).
+The KB8 fisheye camera model and the stereo extrinsics come straight from
+the reference's TUM-VI.yaml.
 
 Usage:
-  python examples/run_euroc.py /path/to/MH_01_easy EuRoC.yaml \
-      --sensor mono --out traj_tum.txt [--imu] [--vocab vocab.npz]
+  python examples/run_tum_vi.py /path/to/dataset-room1_512_16 TUM-VI.yaml \
+      --sensor stereo-imu --out traj_tum.txt
 """
 
 import argparse
@@ -33,7 +34,7 @@ def main():
 
     use_imu = args.sensor.endswith("-imu")
     stereo = args.sensor.startswith("stereo")
-    frames = datasets.load_euroc(args.dataset_root, with_imu=use_imu,
+    frames = datasets.load_tum_vi(args.dataset_root, with_imu=use_imu,
                                  stereo=stereo)
     if args.max_frames:
         frames = frames[: args.max_frames]

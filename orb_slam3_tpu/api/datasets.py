@@ -118,3 +118,13 @@ def load_kitti(root: str, sequence: str = "00", stereo: bool = True):
             )
         )
     return frames
+
+
+def load_tum_vi(root: str, with_imu: bool = False, stereo: bool = False):
+    """TUM-VI (512x512 fisheye). The official "Euroc / DSO 512x512" release
+    ships the same mav0/ ASL folder layout as EuRoC, so enumeration
+    delegates to load_euroc (role of Examples/Monocular-Inertial/
+    mono_inertial_tum_vi.cc and Examples/Stereo-Inertial/
+    stereo_inertial_tum_vi.cc LoadImages/LoadIMU). Use with the reference's
+    TUM-VI.yaml (KannalaBrandt8 camera; `Settings.h:44-48`)."""
+    return load_euroc(root, with_imu=with_imu, stereo=stereo)

@@ -139,6 +139,40 @@ class System:
     def save_atlas(self, path: str):
         checkpoint.save_atlas(path, self.tracker.map, self.vocabulary)
 
+    def change_dataset(self):
+        """System::ChangeDataset (multi-sequence runs, e.g.
+        Examples/Stereo-Inertial/stereo_inertial_euroc.cc:42-117): force a
+        map discontinuity before the next frame — the active map is stored
+        and tracking restarts in a fresh Atlas map."""
+        t = self.tracker
+        if t.state != trk.NOT_INITIALIZED:
+            t._timestamp_jump()
+
+    def save_debug_data(self, path: str):
+        """System::SaveDebugData (System.cc:1265-1318): dump the inertial
+        initialization/refinement history (per event: timestamp, scale
+        applied, gravity direction, biases) for offline inspection."""
+        t = self.tracker
+        with open(path, "w") as f:
+            f.write("# ts event scale gx gy gz bgx bgy bgz bax bay baz\n")
+            for e in getattr(t, "debug_events", []):
+                g = e["gravity"]
+                bg = e["bg"]
+                ba = e["ba"]
+                f.write(
+                    f"{e['ts']:.6f} {e['event']} {e['scale']:.6f} "
+                    f"{g[0]:.4f} {g[1]:.4f} {g[2]:.4f} "
+                    f"{bg[0]:.6f} {bg[1]:.6f} {bg[2]:.6f} "
+                    f"{ba[0]:.6f} {ba[1]:.6f} {ba[2]:.6f}\n"
+                )
+
     def shutdown(self):
-        """System::Shutdown (System.cc:515) — nothing asynchronous to join
-        in this design; kept for API parity."""
+        """System::Shutdown (System.cc:515): join the background global-BA
+        campaign if one is running and fold its result into the map."""
+        t = self.tracker
+        if t.gba is not None and t.gba.running:
+            t.gba.request_abort()
+            t.gba.join(timeout=60.0)
+        if t.gba is not None and t.gba.finished:
+            t.map = t.gba.reconcile(t.map)
+            t.gba = None

@@ -27,6 +27,7 @@ from ..frontend import matching, orb, two_view
 from ..mapping import fuse, local_mapper
 from ..ops import lie
 from ..utils.timing import GLOBAL_TIMER
+from ..utils import verbose
 from . import track as track_mod
 
 NOT_INITIALIZED = 0
@@ -102,6 +103,7 @@ class Tracker:
         self.last_inliers = 0
         self.frames_since_kf = 0
         self.trajectory: list[FrameRecord] = []
+        self.debug_events: list[dict] = []  # IMU init/refine history (SaveDebugData)
         self.lost_count = 0
         self.mapping_paused = False   # localization-only mode (System.cc:409)
         self._frame_ur = None
@@ -204,6 +206,15 @@ class Tracker:
 
         if self.imu is not None:
             self.imu.ingest(np.asarray(imu) if imu is not None else None)
+        # timestamp sanity (Tracking.cc:1818-1855): a backwards step, or a
+        # >1 s gap on an inertial sensor, breaks preintegration continuity —
+        # store the active map and restart in a fresh one (CreateMapInAtlas)
+        if self.last is not None and self.state != NOT_INITIALIZED:
+            gap = timestamp - float(self.last["ts"])
+            if gap < -1e-9 or (self.imu is not None and gap > 1.0):
+                self._timestamp_jump()
+            elif gap > 1.0:
+                self.velocity = None  # stale motion model (visual-only)
         img = jnp.asarray(img, jnp.float32)
         with GLOBAL_TIMER.stage("orb_extraction"):
             feats = self._extract(img)
@@ -254,6 +265,33 @@ class Tracker:
         else:
             ok = self._track_frame(feats, timestamp)
         self._record_frame(timestamp, ok)
+
+    def _timestamp_jump(self):
+        """Timestamp discontinuity: store the active map and continue in a
+        fresh one (Tracking.cc:1818-1855 -> CreateMapInAtlas,
+        Tracking.cc:2662). Biases survive as priors for the next inertial
+        initialization (the reference keeps mLastBias); everything else
+        restarts."""
+        verbose.print_mess(
+            "Timestamp discontinuity: creating new map in Atlas",
+            verbose.VERBOSITY_NORMAL,
+        )
+        self.map = atlas_ops.create_map(self.map)
+        self.state = NOT_INITIALIZED
+        self.init_ref = None
+        self.last = None
+        self.velocity = None
+        self.last_kf_row = -1
+        self.frames_since_kf = 0
+        self.lost_count = 0
+        self._vi_prior = None
+        self._tracked_lms = None
+        if self.imu is not None:
+            self.imu.initialized = False
+            self.imu.first_kf_ts = None
+            self.imu.init_ts = None
+            self.imu.viba_stage = 0
+            self.imu._cur = ([], [], [], [])
 
     def _record_frame(self, timestamp, ok):
         if self.last is None or self.last_kf_row < 0:

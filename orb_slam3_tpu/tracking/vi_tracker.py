@@ -207,13 +207,22 @@ def _inertial_chain(tracker, bg=None, ba=None):
     return chain, preints, jnp.stack(R_wb), jnp.stack(t_wb)
 
 
-def _apply_inertial_solution(tracker, out, chain, update_bias=True):
+def _apply_inertial_solution(tracker, out, chain, update_bias=True,
+                             event: str = "init"):
     """Gauge transform + state writes shared by init and the VIBA/scale
     refinements (ApplyScaledRotation + UpdateFrameIMU,
     LocalMapping.cc:1281-1295)."""
     imu = tracker.imu
     s = tracker.map
     scale = float(out["scale"])
+    tracker.debug_events.append({
+        "ts": float(s.kf_timestamp[int(s.n_kf) - 1]),
+        "event": event,
+        "scale": scale,
+        "gravity": np.array(out["Rwg"] @ jnp.array([0.0, 0.0, -pre.GRAVITY])),
+        "bg": np.array(out["bg"]),
+        "ba": np.array(out["ba"]),
+    })
     Ryw = out["Rwg"].T
     s2 = atlas_ops.apply_scaled_rotation(
         s, Ryw, jnp.asarray(scale), s.active_map
@@ -357,7 +366,8 @@ def try_refine_imu(tracker):
         # visual-noise collapse mode, not a correction — reject it
         if scale <= 1e-2 or not np.isfinite(scale) or not (0.5 < scale < 2.0):
             return False
-        _apply_inertial_solution(tracker, out, chain)
+        _apply_inertial_solution(tracker, out, chain,
+                                 event=f"viba{imu.viba_stage + 1}")
         imu.viba_stage += 1
         return True
 
@@ -373,7 +383,8 @@ def try_refine_imu(tracker):
     # apply only a meaningful correction (reference: |s-1| > 1e-5)
     if abs(scale - 1.0) < 1e-5:
         return False
-    _apply_inertial_solution(tracker, out, chain, update_bias=False)
+    _apply_inertial_solution(tracker, out, chain, update_bias=False,
+                             event="scale_refine")
     return True
 
 

@@ -144,3 +144,37 @@ def test_system_facade_runs(tmp_path):
     sys_.save_keyframe_trajectory_tum(str(tmp_path / "kf.txt"))
     sys_.save_atlas(str(tmp_path / "atlas.npz"))
     assert os.path.getsize(tmp_path / "atlas.npz") > 0
+
+
+def test_change_dataset_and_timestamp_jump(tmp_path):
+    """Multi-sequence support: System::ChangeDataset forces a new Atlas map;
+    a >1 s timestamp jump on an inertial run does the same automatically
+    (Tracking.cc:1818-1855)."""
+    from synthetic_scene import PlaneScene, orbit_trajectory
+    from orb_slam3_tpu.frontend import orb as orb_mod
+    from orb_slam3_tpu.tracking import tracker as trk
+
+    K = cam.make_pinhole(350.0, 350.0, 256.0, 192.0)
+    cfg = trk.TrackerConfig(
+        K=K, img_wh=(512, 384), sensor="rgbd", bf=35.0, th_depth=20.0,
+        orb=orb_mod.OrbConfig(n_features=500, n_levels=3),
+        kmax=16, lmax=2048, local_window=4,
+    )
+    sys_ = system.System(config=cfg)
+    scene = PlaneScene(np.array(K), img_wh=(512, 384), seed=9)
+    R_gt, t_gt = orbit_trajectory(8)
+    for i in range(4):
+        img, depth = scene.render_with_depth(R_gt[i], t_gt[i])
+        sys_.track_rgbd(img, depth, i * 0.05)
+    map0 = int(sys_.tracker.map.active_map)
+    sys_.change_dataset()
+    assert sys_.tracker.state == trk.NOT_INITIALIZED
+    for i in range(4):
+        img, depth = scene.render_with_depth(R_gt[i + 4], t_gt[i + 4])
+        sys_.track_rgbd(img, depth, 100.0 + i * 0.05)
+    assert int(sys_.tracker.map.active_map) == map0 + 1
+    assert sys_.tracking_state() == trk.OK
+    # debug-data export is well-formed even with no inertial events
+    sys_.save_debug_data(str(tmp_path / "debug.txt"))
+    assert os.path.getsize(tmp_path / "debug.txt") > 0
+    sys_.shutdown()

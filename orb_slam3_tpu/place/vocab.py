@@ -122,18 +122,22 @@ def _popcount_dist(desc, centers):
 
 
 def transform_words(voc: Vocabulary, desc, valid):
-    """[F, 32] descriptors -> [F] leaf word ids (tree descent, batched)."""
+    """[F, 32] descriptors -> [F] leaf word ids (tree descent, batched).
+
+    Per level, only each feature's k child centers are gathered and
+    compared — O(F*k) work per level regardless of level width, which is
+    what makes descending the reference's 1M-word ORBvoc (k=10, L=6,
+    loaded via load_orb_text) as cheap as a small trained tree."""
     k, L = voc.branching, voc.depth
     off = 0
     node = jnp.zeros(desc.shape[0], jnp.int32)  # node index within level
     for lvl in range(L):
         n_lvl = k ** (lvl + 1)
-        centers = jax.lax.dynamic_slice_in_dim(voc.centers, off, n_lvl, 0)
-        d = _popcount_dist(desc, centers)  # [F, n_lvl]
-        # only the k children of `node` are candidates
         child_base = node * k
-        cand = child_base[:, None] + jnp.arange(k)[None, :]
-        dc = jnp.take_along_axis(d, cand, axis=1)
+        cand = child_base[:, None] + jnp.arange(k)[None, :]    # [F, k]
+        cc = voc.centers[off + cand]                           # [F, k, 32]
+        x = jnp.bitwise_xor(desc[:, None, :], cc)
+        dc = jnp.sum(jax.lax.population_count(x).astype(jnp.int32), axis=-1)
         best = jnp.argmin(dc, axis=1)
         node = child_base + best.astype(jnp.int32)
         off += n_lvl
@@ -159,3 +163,88 @@ def l1_score(a, b):
 def score_matrix(query_bow, db_bows):
     """[W] vs [K, W] -> [K] L1 scores; one broadcasted reduction."""
     return 1.0 - 0.5 * jnp.sum(jnp.abs(query_bow[None, :] - db_bows), axis=-1)
+
+
+def load_orb_text(path: str, depth_limit: int | None = None) -> Vocabulary:
+    """Load a DBoW2 text vocabulary — the reference's shipped
+    `Vocabulary/ORBvoc.txt` format (TemplatedVocabulary::loadFromTextFile,
+    `/root/reference/Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h:1338-1420`):
+    first line `k L scoring weighting`, then one node per line
+    `parent_id is_leaf d0..d31 weight`, ids sequential from 1 (root = 0).
+
+    The DBoW2 tree may be incomplete (clusters smaller than k); this dense
+    structure requires a complete k-ary tree, so missing children are padded
+    with a copy of the node's first real child — descent argmin ties resolve
+    to the first (real) occurrence, so padded subtrees are never entered and
+    their leaf weights are 0.
+
+    depth_limit truncates the tree (e.g. 4 keeps 10^4 of ORBvoc's 10^6
+    words): internal-node centers become the leaves. Dense BoW vectors are
+    [k^L] floats, so truncation trades discrimination for memory — the full
+    ORBvoc needs ~4 MB per BoW vector; depth_limit=4 needs 40 KB.
+    """
+    with open(path) as f:
+        header = f.readline().split()
+        k, L = int(header[0]), int(header[1])
+        parents: list[int] = [-1]     # root
+        children: list[list[int]] = [[]]
+        descs = [np.zeros(32, np.uint8)]
+        weights_n = [0.0]
+        is_leaf = [False]
+        for line in f:
+            parts = line.split()
+            if len(parts) < 35:
+                continue
+            pid = int(parts[0])
+            leaf = int(parts[1]) > 0
+            d = np.array([int(x) for x in parts[2:34]], np.uint8)
+            w = float(parts[34])
+            nid = len(parents)
+            parents.append(pid)
+            children.append([])
+            children[pid].append(nid)
+            descs.append(d)
+            weights_n.append(w)
+            is_leaf.append(leaf)
+
+    if depth_limit is not None:
+        L = min(L, int(depth_limit))
+
+    # BFS fill of the complete k-ary tree, padding short child lists by
+    # repeating the first child (weight 0 so padded words never score;
+    # descent ties resolve to the first, REAL occurrence). Early leaves
+    # replicate their own center downward, first copy keeping the word
+    # weight. Slots are (node_id, is_pad).
+    levels: list[np.ndarray] = []
+    leaf_weights = []
+    frontier = [(0, False)]
+    for lvl in range(L):
+        slots = []
+        for nid, pad in frontier:
+            real = children[nid][:k]
+            if real:
+                filled = ([(c, pad) for c in real]
+                          + [(real[0], True)] * (k - len(real)))
+            else:
+                # early leaf: first copy inherits the slot's status
+                filled = [(nid, pad)] + [(nid, True)] * (k - 1)
+            slots.extend(filled)
+        levels.append(np.stack([descs[nid] for nid, _ in slots]))
+        if lvl == L - 1:
+            leaf_weights = [
+                0.0 if pad else weights_n[nid] for nid, pad in slots
+            ]
+        frontier = slots
+
+    w = np.array(leaf_weights, np.float32)
+    if w.max() <= 0.0:
+        # depth-truncated tree: internal nodes carry no idf weight in
+        # DBoW2 — fall back to uniform
+        w = np.ones_like(w)
+    voc = Vocabulary(
+        centers=jnp.asarray(np.concatenate(levels, axis=0)),
+        weights=jnp.asarray(w),
+        branching=k,
+        depth=L,
+    )
+    return voc

@@ -123,6 +123,13 @@ class Tracker:
             Tbc = cfg.Tbc if cfg.Tbc is not None else np.eye(4, dtype=np.float32)
             self.imu = vi_tracker.ImuState(cfg.imu_noise, Tbc)
         self._extract = jax.jit(lambda im: orb.extract(im, cfg.orb))
+        # stereo: both extractions inside ONE jit (sequential — measured
+        # faster than vmap on v5e, whose batched gathers relayout badly;
+        # also saves a dispatch). Role of the reference's two extraction
+        # threads (Frame.cc:116-121).
+        self._extract_pair = jax.jit(
+            lambda l, r: (orb.extract(l, cfg.orb), orb.extract(r, cfg.orb))
+        )
 
     def attach_loop_closer(self, voc):
         """Enable place recognition: loop closing, map merging, and
@@ -217,10 +224,14 @@ class Tracker:
                 self.velocity = None  # stale motion model (visual-only)
         img = jnp.asarray(img, jnp.float32)
         with GLOBAL_TIMER.stage("orb_extraction"):
-            feats = self._extract(img)
+            if self.base_sensor == "stereo":
+                feats, feats_r = self._extract_pair(
+                    img, jnp.asarray(img_right, jnp.float32)
+                )
+            else:
+                feats = self._extract(img)
         ur = depth = None
         if self.base_sensor == "stereo" and self.cfg.stereo_fisheye:
-            feats_r = self._extract(jnp.asarray(img_right, jnp.float32))
             depth, _ = stereo_mod.match_stereo_fisheye(
                 self.cfg.kind, self.cfg.K, self.cfg.K_right,
                 jnp.asarray(self.cfg.R_rl, jnp.float32),
@@ -242,7 +253,6 @@ class Tracker:
                     -1.0,
                 )
         elif self.base_sensor == "stereo":
-            feats_r = self._extract(jnp.asarray(img_right, jnp.float32))
             ur, depth, _ = stereo_mod.match_stereo(
                 feats.xy, feats.octave, feats.descriptors, feats.valid,
                 feats_r.xy, feats_r.octave, feats_r.descriptors, feats_r.valid,

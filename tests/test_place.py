@@ -107,3 +107,64 @@ class TestPnP:
         assert int(n_inl) > 70
         np.testing.assert_allclose(np.array(R), np.array(R_gt), atol=0.02)
         np.testing.assert_allclose(np.array(t), np.array(t_gt), atol=0.1)
+
+
+def test_load_orb_text_dbow2_format(tmp_path):
+    """load_orb_text parses the reference's ORBvoc.txt format
+    (TemplatedVocabulary::loadFromTextFile) incl. incomplete trees, and
+    descent reproduces DBoW2's greedy Hamming walk."""
+    rng = np.random.default_rng(11)
+    k, L = 3, 2
+    # root children (level 1): 3 nodes; node 1 has 3 children, node 2 has
+    # TWO (incomplete), node 3 is an early leaf
+    d = rng.integers(0, 256, (16, 32)).astype(np.uint8)
+
+    def line(pid, leaf, desc, w):
+        return f"{pid} {int(leaf)} " + " ".join(str(int(x)) for x in desc) \
+            + f" {w}\n"
+
+    path = tmp_path / "voc.txt"
+    with open(path, "w") as f:
+        f.write(f"{k} {L} 0 0\n")
+        f.write(line(0, 0, d[0], 0))   # node 1
+        f.write(line(0, 0, d[1], 0))   # node 2
+        f.write(line(0, 1, d[2], 0.7))  # node 3: early leaf
+        f.write(line(1, 1, d[3], 0.5))  # node 4 (word)
+        f.write(line(1, 1, d[4], 0.4))  # node 5 (word)
+        f.write(line(1, 1, d[5], 0.3))  # node 6 (word)
+        f.write(line(2, 1, d[6], 0.2))  # node 7 (word)
+        f.write(line(2, 1, d[7], 0.1))  # node 8 (word)
+
+    voc = vocab.load_orb_text(str(path))
+    assert voc.branching == 3 and voc.depth == 2
+    assert voc.centers.shape == (3 + 9, 32)
+
+    # DBoW2-semantics reference descent on a few queries
+    children = {0: [1, 2, 3], 1: [4, 5, 6], 2: [7, 8], 3: []}
+    descs = {i + 1: d[i] for i in range(8)}
+
+    def ham(a, b):
+        return int(np.unpackbits(a ^ b).sum())
+
+    q = rng.integers(0, 256, (6, 32)).astype(np.uint8)
+    words = np.array(vocab.transform_words(
+        voc, jnp.asarray(q), jnp.ones(6, bool)))
+    # leaf layout: level-1 slot i occupies dense words [3i, 3i+3)
+    for j in range(6):
+        node = 0
+        for lvl in range(2):
+            ch = children[node]
+            if not ch:
+                break  # early leaf: stays
+            node = min(ch, key=lambda c: (ham(q[j], descs[c]), ch.index(c)))
+        # map reference node to dense leaf slot
+        dense = words[j]
+        assert ham(q[j], np.array(voc.centers[3 + dense])) == \
+            ham(q[j], descs[node]), (j, node, dense)
+
+    # padded-leaf weights are zero; real words carry their file weights
+    w = np.array(voc.weights)
+    assert (w > 0).sum() == 6  # 5 level-2 words + the early leaf copy
+    # BoW vector normalizes and scores
+    bow = vocab.bow_vector(voc, jnp.asarray(q), jnp.ones(6, bool))
+    assert abs(float(np.abs(np.array(bow)).sum()) - 1.0) < 1e-5

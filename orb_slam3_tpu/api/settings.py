@@ -48,6 +48,12 @@ class SlamSettings:
     # `Stereo.T_c1_c2` in the 1.0 schema, Settings.cc readCamera2)
     K_right: np.ndarray = None            # [8]
     T_lr: np.ndarray = None               # [4, 4]
+    # legacy rectified-stereo blocks (LEFT./RIGHT. K, D, R, P — the old
+    # EuRoC.yaml schema consumed by cv::initUndistortRectifyMap,
+    # Examples_old/Stereo/EuRoC.yaml:50-81): when present, images must be
+    # remapped before tracking (System.cc:253-265)
+    rect_left: dict = None                # {K [3,3], D, R [3,3], P [3,4]}
+    rect_right: dict = None
 
 
 def _load_yaml(path: str) -> dict:
@@ -59,6 +65,9 @@ def _load_yaml(path: str) -> dict:
         text = f.read()
     text = re.sub(r"^%YAML.*$", "", text, flags=re.M)
     text = text.replace("!!opencv-matrix", "")
+    # the old-format YAMLs write "data:[..." without a space (valid for
+    # cv::FileStorage, rejected by strict YAML parsers)
+    text = re.sub(r"^(\s*\w+):(\[)", r"\1: \2", text, flags=re.M)
     return yaml.safe_load(text) or {}
 
 
@@ -136,6 +145,28 @@ def load_settings(path: str, sensor: str = "mono") -> SlamSettings:
         elif tlr is not None:
             s.T_lr = np.array(tlr, np.float32).reshape(4, 4)
 
+    # legacy rectification blocks (opencv-matrix dicts with rows/cols/data)
+    def mat(key):
+        m = get(key)
+        if isinstance(m, dict) and "data" in m:
+            return np.array(m["data"], np.float64).reshape(
+                int(m.get("rows", 3)), int(m.get("cols", 3))
+            )
+        return np.asarray(m, np.float64) if m is not None else None
+
+    if get("LEFT.K") is not None:
+        s.rect_left = {k: mat(f"LEFT.{k}") for k in ("K", "D", "R", "P")}
+        s.rect_right = {k: mat(f"RIGHT.{k}") for k in ("K", "D", "R", "P")}
+        # after rectification the working intrinsics are LEFT.P and the
+        # distortion is zero; bf comes from RIGHT.P[0,3] = -fx*baseline
+        P = s.rect_left["P"]
+        s.K = np.array(cam.make_pinhole(P[0, 0], P[1, 1], P[0, 2], P[1, 2]))
+        s.dist_coeffs = np.zeros(5, np.float32)
+        if s.bf == 0.0 and s.rect_right["P"] is not None:
+            s.bf = float(abs(s.rect_right["P"][0, 3]))
+        s.width = int(get("LEFT.width", default=s.width))
+        s.height = int(get("LEFT.height", default=s.height))
+
     tbc = get("IMU.T_b_c1", "Tbc")
     if isinstance(tbc, dict) and "data" in tbc:
         s.Tbc = np.array(tbc["data"], np.float32).reshape(4, 4)
@@ -172,6 +203,9 @@ def to_tracker_config(s: SlamSettings, **overrides):
         ),
         Tbc=s.Tbc,
     )
+    if (s.kind == cam.PINHOLE and s.dist_coeffs is not None
+            and float(np.abs(s.dist_coeffs).max()) > 0):
+        cfg.dist_coeffs = s.dist_coeffs
     # non-rectified stereo: KB8 pair with explicit T_lr (X_l = T_lr X_r)
     if (s.sensor.startswith("stereo") and s.kind == cam.KB8
             and s.K_right is not None and s.T_lr is not None):

@@ -33,11 +33,20 @@ class System:
         vocabulary enables place recognition (loop closing, relocalization,
         map merging). atlas_path loads a previous session's Atlas
         (System::LoadAtlas, System.cc:1445)."""
+        self.rectifier = None
         if config is None:
             if settings_path is None:
                 raise ValueError("need settings_path or config")
             s = settings_mod.load_settings(settings_path, sensor)
             config = settings_mod.to_tracker_config(s)
+            if s.rect_left is not None and sensor.startswith("stereo"):
+                # legacy EuRoC-style rectification: remap both images before
+                # tracking (System::TrackStereo, System.cc:253-265)
+                from ..frontend.rectify import StereoRectifier
+
+                self.rectifier = StereoRectifier(
+                    s.rect_left, s.rect_right, s.width, s.height
+                )
         self.tracker = trk.Tracker(config)
         self.vocabulary = vocabulary
         if vocabulary is not None:
@@ -60,7 +69,10 @@ class System:
         return self.current_pose()
 
     def track_stereo(self, img_left, img_right, timestamp: float, imu=None):
-        """System::TrackStereo (System.cc:244)."""
+        """System::TrackStereo (System.cc:244): rectifies first when the
+        settings shipped LEFT./RIGHT. rectification blocks (System.cc:253)."""
+        if self.rectifier is not None:
+            img_left, img_right = self.rectifier(img_left, img_right)
         self.tracker.process(img_left, timestamp, img_right=img_right,
                              imu=imu)
         return self.current_pose()

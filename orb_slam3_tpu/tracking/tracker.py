@@ -68,6 +68,10 @@ class TrackerConfig:
     K_right: jnp.ndarray = None
     R_rl: np.ndarray = None
     t_rl: np.ndarray = None
+    # pinhole rad-tan distortion (k1 k2 p1 p2 k3): keypoints are undistorted
+    # right after extraction (Frame::UndistortKeyPoints, Frame.cc:747-780);
+    # None = already-rectified/distortion-free input
+    dist_coeffs: np.ndarray = None
 
 
 @dataclasses.dataclass
@@ -122,14 +126,29 @@ class Tracker:
 
             Tbc = cfg.Tbc if cfg.Tbc is not None else np.eye(4, dtype=np.float32)
             self.imu = vi_tracker.ImuState(cfg.imu_noise, Tbc)
-        self._extract = jax.jit(lambda im: orb.extract(im, cfg.orb))
+        dist = (jnp.asarray(cfg.dist_coeffs, jnp.float32)
+                if cfg.dist_coeffs is not None
+                and cfg.kind == cam.PINHOLE
+                and float(np.abs(np.asarray(cfg.dist_coeffs)).max()) > 0
+                else None)
+
+        def _ext(im):
+            f = orb.extract(im, cfg.orb)
+            if dist is not None:
+                # geometry uses undistorted coordinates
+                # (Frame::UndistortKeyPoints, Frame.cc:747-780); descriptors
+                # were already sampled from the raw image, like the reference
+                f = dataclasses.replace(
+                    f, xy=cam.undistort_points_radtan(cfg.K, dist, f.xy)
+                )
+            return f
+
+        self._extract = jax.jit(_ext)
         # stereo: both extractions inside ONE jit (sequential — measured
         # faster than vmap on v5e, whose batched gathers relayout badly;
         # also saves a dispatch). Role of the reference's two extraction
         # threads (Frame.cc:116-121).
-        self._extract_pair = jax.jit(
-            lambda l, r: (orb.extract(l, cfg.orb), orb.extract(r, cfg.orb))
-        )
+        self._extract_pair = jax.jit(lambda l, r: (_ext(l), _ext(r)))
 
     def attach_loop_closer(self, voc):
         """Enable place recognition: loop closing, map merging, and

@@ -54,6 +54,9 @@ class SlamSettings:
     # remapped before tracking (System.cc:253-265)
     rect_left: dict = None                # {K [3,3], D, R [3,3], P [3,4]}
     rect_right: dict = None
+    # input resize (Camera.newWidth/newHeight, Settings.cc:384-409): images
+    # are resized before tracking and the calibration is scaled accordingly
+    resize_wh: tuple = None               # (new_w, new_h) or None
 
 
 def _load_yaml(path: str) -> dict:
@@ -174,6 +177,26 @@ def load_settings(path: str, sensor: str = "mono") -> SlamSettings:
         s.Tbc = np.array(tbc, np.float32).reshape(4, 4)
     else:
         s.Tbc = np.eye(4, dtype=np.float32)
+
+    # Camera.newWidth/newHeight (Settings.cc:384-409): resize input images
+    # and scale the calibrations + bf by the per-axis factors (applied last
+    # so every parsed quantity is at the original resolution). Not combined
+    # with the legacy rectification blocks (the reference rectifies at the
+    # original size in that schema too).
+    nw, nh = get("Camera.newWidth"), get("Camera.newHeight")
+    if (nw is not None or nh is not None) and s.rect_left is None:
+        nw = int(nw) if nw is not None else s.width
+        nh = int(nh) if nh is not None else s.height
+        sx, sy = nw / s.width, nh / s.height
+        for Karr in (s.K, s.K_right):
+            if Karr is not None:
+                Karr[0] *= sx   # fx
+                Karr[2] *= sx   # cx
+                Karr[1] *= sy   # fy
+                Karr[3] *= sy   # cy
+        s.bf *= sx
+        s.resize_wh = (nw, nh)
+        s.width, s.height = nw, nh
     return s
 
 

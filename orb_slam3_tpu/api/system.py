@@ -34,6 +34,7 @@ class System:
         map merging). atlas_path loads a previous session's Atlas
         (System::LoadAtlas, System.cc:1445)."""
         self.rectifier = None
+        self._resize = None
         if config is None:
             if settings_path is None:
                 raise ValueError("need settings_path or config")
@@ -47,6 +48,15 @@ class System:
                 self.rectifier = StereoRectifier(
                     s.rect_left, s.rect_right, s.width, s.height
                 )
+            if s.resize_wh is not None:
+                # Camera.newWidth/newHeight (System.cc:253-265 resize path)
+                import jax
+                import jax.numpy as jnp
+
+                w, h = s.resize_wh
+                self._resize = jax.jit(lambda im: jax.image.resize(
+                    jnp.asarray(im, jnp.float32), (h, w), "bilinear",
+                    antialias=False))
         self.tracker = trk.Tracker(config)
         self.vocabulary = vocabulary
         if vocabulary is not None:
@@ -65,6 +75,8 @@ class System:
     def track_monocular(self, img, timestamp: float, imu=None):
         """System::TrackMonocular (System.cc:399). imu: [M,7] rows
         (t, gx, gy, gz, ax, ay, az) since the previous frame (vImuMeas)."""
+        if self._resize is not None:
+            img = self._resize(img)
         self.tracker.process(img, timestamp, imu=imu)
         return self.current_pose()
 
@@ -73,12 +85,16 @@ class System:
         settings shipped LEFT./RIGHT. rectification blocks (System.cc:253)."""
         if self.rectifier is not None:
             img_left, img_right = self.rectifier(img_left, img_right)
+        if self._resize is not None:
+            img_left, img_right = self._resize(img_left), self._resize(img_right)
         self.tracker.process(img_left, timestamp, img_right=img_right,
                              imu=imu)
         return self.current_pose()
 
     def track_rgbd(self, img, depth, timestamp: float, imu=None):
         """System::TrackRGBD (System.cc:328)."""
+        if self._resize is not None:
+            img, depth = self._resize(img), self._resize(depth)
         self.tracker.process(img, timestamp, depth_map=depth, imu=imu)
         return self.current_pose()
 

@@ -321,13 +321,18 @@ def cull_keyframes(s: MapState, window_rows, min_redundancy: float = 0.9,
     killed_mask = jnp.zeros((K,), bool).at[kill_rows].set(True, mode="drop")
     detach = killed_mask[:, None] & (s.kf_feat_lm >= 0)
     kf_feat_lm = jnp.where(detach, NO_LM, s.kf_feat_lm)
-    # re-parent children of killed KFs to the killed KF's parent
-    parent_of = s.kf_parent
-    killed_parent = jnp.where(
-        killed_mask[jnp.clip(parent_of, 0, K - 1)] & (parent_of >= 0),
-        parent_of[jnp.clip(parent_of, 0, K - 1)],
-        parent_of,
-    )
+    # re-parent children of killed KFs to the first SURVIVING ancestor
+    # (KeyFrame::SetBadFlag child re-parenting): iterate the one-hop remap
+    # until chains of same-round kills are resolved (chain length is
+    # bounded by the window size)
+    parent0 = s.kf_parent
+    new_parent = parent0
+    for _ in range(int(window_rows.shape[0])):
+        new_parent = jnp.where(
+            killed_mask[jnp.clip(new_parent, 0, K - 1)] & (new_parent >= 0),
+            parent0[jnp.clip(new_parent, 0, K - 1)],
+            new_parent,
+        )
     return dataclasses.replace(
-        s, kf_valid=kf_valid, kf_feat_lm=kf_feat_lm, kf_parent=killed_parent
+        s, kf_valid=kf_valid, kf_feat_lm=kf_feat_lm, kf_parent=new_parent
     )

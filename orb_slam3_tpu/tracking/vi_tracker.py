@@ -458,18 +458,23 @@ def cull_keyframes_inertial(tracker, window_rows, min_redundancy: float = 0.9):
     killed_rows = jnp.asarray(killed, jnp.int32)
     killed_mask = jnp.zeros((K,), bool).at[killed_rows].set(True)
     detach = killed_mask[:, None] & (s.kf_feat_lm >= 0)
-    parent_of = s.kf_parent
-    new_parent = jnp.where(
-        killed_mask[jnp.clip(parent_of, 0, K - 1)] & (parent_of >= 0),
-        parent_of[jnp.clip(parent_of, 0, K - 1)],
-        parent_of,
-    )
+    # re-parent children transitively: walk each parent chain up to the
+    # first surviving ancestor (KeyFrame::SetBadFlag re-parents children;
+    # a single hop dangles when the grandparent died in the same round)
+    parent0 = np.array(s.kf_parent)
+    killed_set = set(killed)
+    new_parent = parent0.copy()
+    for r in range(n_kf):
+        p = int(new_parent[r])
+        while p >= 0 and p in killed_set:
+            p = int(parent0[p])
+        new_parent[r] = p
     tracker.map = dataclasses.replace(
         s,
         kf_valid=jnp.asarray(kf_valid),
         kf_prev=jnp.asarray(kf_prev),
         kf_feat_lm=jnp.where(detach, -1, s.kf_feat_lm),
-        kf_parent=new_parent,
+        kf_parent=jnp.asarray(new_parent),
     )
     return True
 

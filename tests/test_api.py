@@ -178,3 +178,19 @@ def test_change_dataset_and_timestamp_jump(tmp_path):
     sys_.save_debug_data(str(tmp_path / "debug.txt"))
     assert os.path.getsize(tmp_path / "debug.txt") > 0
     sys_.shutdown()
+
+
+def test_settings_resize_scales_calibration(tmp_path):
+    """Camera.newWidth/newHeight (Settings.cc:384-409): calibration scales
+    by the per-axis factors and System resizes frames before tracking."""
+    s = settings_mod.load_settings(
+        "/root/reference/Examples/Monocular/EuRoC.yaml", "mono")
+    assert s.resize_wh == (600, 350)
+    assert abs(float(s.K[0]) - 458.654 * 600 / 752) < 1e-3
+    assert abs(float(s.K[1]) - 457.296 * 350 / 480) < 1e-3
+    sys_ = system.System(
+        settings_path="/root/reference/Examples/Monocular/EuRoC.yaml",
+        sensor="mono")
+    img = np.random.default_rng(0).uniform(0, 255, (480, 752))
+    sys_.track_monocular(img, 0.05)   # runs through the resize path
+    assert sys_.tracker.cfg.img_wh == (600, 350)

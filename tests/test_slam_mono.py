@@ -66,3 +66,6 @@ class TestMonoSLAM:
         valid = np.array(s.lm_valid)
         bound = lm[lm >= 0]
         assert valid[bound].mean() > 0.95
+        from orb_slam3_tpu.atlas import invariants
+        v = invariants.check_all(s)
+        assert not v, v

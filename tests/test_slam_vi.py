@@ -90,3 +90,8 @@ def test_mono_inertial_end_to_end():
     # and the unaligned-scale ATE must be reasonable
     rmse, _, _ = evaluate.ate_rmse(ts[ok], est_c, ts[ok], gt_c, with_scale=False)
     assert rmse < 0.5, f"VI ATE {rmse:.3f}"
+
+    # map-structure invariants (Map::CheckEssentialGraph role)
+    from orb_slam3_tpu.atlas import invariants
+    v = invariants.check_all(t.map)
+    assert not v, v

@@ -271,7 +271,10 @@ def extract(img, cfg: OrbConfig = OrbConfig()):
                 xy * scale,
                 score,
                 ang,
-                jnp.full((n_lvl,), lvl, jnp.int32),
+                # select_keypoints may cap below n_lvl when the cell grid
+                # of a small level has fewer slots than the budget — size
+                # the octave column by what was actually returned
+                jnp.full((xy.shape[0],), lvl, jnp.int32),
                 desc,
                 valid,
             )

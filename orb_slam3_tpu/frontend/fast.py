@@ -58,6 +58,23 @@ def _arc_reduce_min(v16):
     return jnp.minimum(v8[:16], v[8:24])
 
 
+def fast_score(img):
+    """Threshold-free FAST-9/16 score map.
+
+    Returns [H, W] float32 S = max over all 16 arc starts of the arc-min
+    signed difference (bright) or its negation (dark). A pixel is a corner
+    at threshold t exactly when S > t, and its OpenCV corner score (the max
+    t' at which the segment test still passes) is S: the best-passing arc at
+    any threshold is the globally best arc, so one score map serves every
+    threshold — the dual-threshold policy needs one pass, not two.
+    """
+    img = img.astype(jnp.float32)
+    diffs = jnp.stack([_shifted(img, dx, dy) for dx, dy in CIRCLE]) - img[None]
+    score_b = jnp.max(_arc_reduce_min(diffs), axis=0)
+    score_d = jnp.max(_arc_reduce_min(-diffs), axis=0)
+    return jnp.maximum(score_b, score_d)
+
+
 def fast_response(img, threshold: float):
     """OpenCV-compatible FAST-9/16 response map.
 
@@ -65,17 +82,8 @@ def fast_response(img, threshold: float):
     corner score = max t' for which the segment test still passes
     (max over passing arcs of the arc-min absolute difference).
     """
-    img = img.astype(jnp.float32)
-    diffs = jnp.stack([_shifted(img, dx, dy) for dx, dy in CIRCLE]) - img[None]
-
-    bright = _arc_reduce_bool(diffs > threshold)  # [16, H, W]
-    dark = _arc_reduce_bool(diffs < -threshold)
-
-    score_b = jnp.max(jnp.where(bright, _arc_reduce_min(diffs), -jnp.inf), axis=0)
-    score_d = jnp.max(jnp.where(dark, _arc_reduce_min(-diffs), -jnp.inf), axis=0)
-    score = jnp.maximum(score_b, score_d)
-    is_corner = jnp.any(bright, axis=0) | jnp.any(dark, axis=0)
-    return jnp.where(is_corner, score, 0.0)
+    s = fast_score(img)
+    return jnp.where(s > threshold, s, 0.0)
 
 
 def nonmax_3x3(score):
@@ -95,8 +103,9 @@ def detect(img, hi_threshold: float = 20.0, lo_threshold: float = 7.0,
     Returns the final [H, W] response map (0 = no corner), border-masked.
     """
     h, w = img.shape
-    r_hi = fast_response(img, hi_threshold)
-    r_lo = fast_response(img, lo_threshold)
+    s = fast_score(img)  # one pass serves both thresholds
+    r_hi = jnp.where(s > hi_threshold, s, 0.0)
+    r_lo = jnp.where(s > lo_threshold, s, 0.0)
 
     # pad to cell multiples for the per-cell any() reduction
     ph, pw = (-h) % cell, (-w) % cell

@@ -124,8 +124,20 @@ def search_by_projection(uv_pred, pred_octave, pred_desc, pred_valid,
     [M, ...]. radius_px is scaled by the predicted octave's scale factor like
     the reference (th * mvScaleFactors[nPredictedLevel]).
     Returns (idx [N], dist [N], ok [N]).
+
+    On TPU this dispatches to the fused Pallas kernel (match_kernel.py) —
+    identical gates, no [N, M] HBM intermediates.
     """
     radius = radius_px * scale_factors[jnp.clip(pred_octave, 0, scale_factors.shape[0] - 1)]
+    if jax.default_backend() == "tpu":
+        from . import match_kernel
+
+        return match_kernel.search_by_projection_pallas(
+            uv_pred, pred_octave, pred_desc, pred_valid,
+            kp_xy, kp_octave, kp_desc, kp_valid, radius,
+            max_dist=max_dist, ratio=ratio,
+            level_lo=level_lo, level_hi=level_hi,
+        )
     m = window_mask(uv_pred, kp_xy, radius, pred_valid, kp_valid)
     m = jnp.logical_and(m, octave_mask(pred_octave, kp_octave, level_lo, level_hi))
     dist = hamming_matrix(pred_desc, kp_desc)

@@ -245,9 +245,11 @@ jax.tree_util.register_dataclass(
 )
 
 
-def extract_level(img, n_max: int, cfg: OrbConfig):
-    """Single-level extraction: detect + select + orient + describe.
-    Returns per-level (xy, response, angle, desc, valid) in level coords."""
+def extract_level_patches(img, n_max: int, cfg: OrbConfig):
+    """Single-level detect + select + patch gather (level coords).
+    Returns (xy, score, valid, raw_flat, blur_flat); orientation and
+    descriptors are computed once on the concatenated patches of all
+    levels (they are per-row independent)."""
     resp = fast_mod.detect(
         img, cfg.ini_th_fast, cfg.min_th_fast, cell=cfg.cell, border=cfg.border
     )
@@ -255,7 +257,13 @@ def extract_level(img, n_max: int, cfg: OrbConfig):
     xy_int = xy.astype(jnp.int32)
     blurred = pyr_mod.gaussian_blur(img)
     both = gather_patches_flat_multi(jnp.stack([img, blurred]), xy_int)
-    raw_flat, blur_flat = both[0], both[1]
+    return xy, score, valid, both[0], both[1]
+
+
+def extract_level(img, n_max: int, cfg: OrbConfig):
+    """Single-level extraction: detect + select + orient + describe.
+    Returns per-level (xy, response, angle, desc, valid) in level coords."""
+    xy, score, valid, raw_flat, blur_flat = extract_level_patches(img, n_max, cfg)
     angles = ic_angle_flat(raw_flat)
     desc = brief_descriptors_flat(blur_flat, angles)
     return xy, score, angles, desc, valid
@@ -264,11 +272,15 @@ def extract_level(img, n_max: int, cfg: OrbConfig):
 def extract(img, cfg: OrbConfig = OrbConfig()):
     """Full-pyramid ORB extraction: [H, W] uint8/float -> Features.
 
-    Per-level jitted stages (measured FASTER on the v5e than the
-    all-levels-padded-batch variant `extract_batched` below: the 8x padded
-    compute outweighs the kernel-count savings). Returned arrays have static
-    size sum(features_per_level) == cfg.n_features (padded with valid=False),
-    coordinates scaled to level 0 (`ORBextractor.cc:1152-1161`)."""
+    Per-level detection/selection/gather on TRUE level shapes, then ONE
+    orientation + descriptor pass over the concatenated patches. Cross-level
+    batching of the other stages was measured SLOWER on v5e and reverted:
+    a fully padded level batch 8x's the FAST compute; a level-padded cell
+    stack 8x's the per-cell top_k; a joint 2-index-axis gather over a
+    blocked level stack lowers to a generic (slow) XLA gather, where the
+    per-level block-column indexing stays a fast contiguous one. Returned
+    arrays have static size sum(features_per_level) (padded with
+    valid=False), coordinates scaled to level 0 (`ORBextractor.cc:1152-1161`)."""
     img = img.astype(jnp.float32)
     levels = pyr_mod.build_pyramid(img, cfg.n_levels, cfg.scale_factor)
     budgets = cfg.features_per_level()
@@ -277,30 +289,37 @@ def extract(img, cfg: OrbConfig = OrbConfig()):
     for lvl, (lv_img, n_lvl) in enumerate(zip(levels, budgets)):
         if n_lvl == 0:
             continue
-        xy, score, ang, desc, valid = extract_level(lv_img, n_lvl, cfg)
+        xy, score, valid, raw_flat, blur_flat = extract_level_patches(
+            lv_img, n_lvl, cfg
+        )
         scale = cfg.scale_factor ** lvl
         parts.append(
             (
                 xy * scale,
                 score,
-                ang,
                 # select_keypoints may cap below n_lvl when the cell grid
                 # of a small level has fewer slots than the budget — size
                 # the octave column by what was actually returned
                 jnp.full((xy.shape[0],), lvl, jnp.int32),
-                desc,
                 valid,
+                raw_flat,
+                blur_flat,
             )
         )
 
-    xy = jnp.concatenate([p[0] for p in parts])
+    # one batched orientation + descriptor pass over ALL levels' patches
+    raw_all = jnp.concatenate([p[4] for p in parts])
+    blur_all = jnp.concatenate([p[5] for p in parts])
+    angles = ic_angle_flat(raw_all)
+    desc = brief_descriptors_flat(blur_all, angles)
+
     return Features(
-        xy=xy,
+        xy=jnp.concatenate([p[0] for p in parts]),
         response=jnp.concatenate([p[1] for p in parts]),
-        angle=jnp.concatenate([p[2] for p in parts]),
-        octave=jnp.concatenate([p[3] for p in parts]),
-        descriptors=jnp.concatenate([p[4] for p in parts]),
-        valid=jnp.concatenate([p[5] for p in parts]),
+        angle=angles,
+        octave=jnp.concatenate([p[2] for p in parts]),
+        descriptors=desc,
+        valid=jnp.concatenate([p[3] for p in parts]),
     )
 
 

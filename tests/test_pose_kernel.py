@@ -51,3 +51,40 @@ def test_pose_kernel_matches_xla(n, n_out):
     np.testing.assert_allclose(np.array(t_p), np.array(t_x), atol=5e-5)
     # and both recover the true pose
     assert float(jnp.linalg.norm(t_p - tt)) < 0.02
+
+
+def test_pose_kernel_stereo_matches_xla():
+    rng = np.random.default_rng(11)
+    n = 256
+    bf = 0.1 * 450.0
+    K = cam.make_pinhole(450.0, 450.0, 376.0, 240.0)
+    Xw = jnp.asarray(
+        np.concatenate([rng.uniform(-3, 3, (n, 2)), rng.uniform(4, 9, (n, 1))], 1),
+        jnp.float32,
+    )
+    xi_true = jnp.asarray(rng.normal(size=6) * 0.04, jnp.float32)
+    Rt, tt = lie.se3_exp(xi_true)
+    Xc = lie.se3_apply(Rt, tt, Xw)
+    uv = cam.pinhole_project(K, Xc)
+    uv = uv + jnp.asarray(rng.normal(size=(n, 2)) * 0.4, jnp.float32)
+    ur = uv[:, 0] - bf / Xc[:, 2] + jnp.asarray(
+        rng.normal(size=n) * 0.4, jnp.float32
+    )
+    ur = jnp.where(jnp.asarray(rng.uniform(size=n) < 0.5), ur, -1.0)  # mixed
+    valid = jnp.ones(n, bool)
+    isig = jnp.ones(n, jnp.float32)
+    R0, t0 = jnp.eye(3), jnp.zeros(3)
+
+    R_x, t_x, inl_x, n_x = track_mod.pose_optimize_stereo(
+        cam.PINHOLE, K, bf, R0, t0, uv, ur, Xw, isig, valid
+    )
+    with pltpu.force_tpu_interpret_mode():
+        R_p, t_p, inl_p, n_p = pose_kernel.pose_optimize_stereo_pallas(
+            K, bf, R0, t0, uv, ur, Xw, isig, valid
+        )
+
+    assert int(n_p) == int(n_x)
+    assert bool(jnp.all(inl_p == inl_x))
+    np.testing.assert_allclose(np.array(R_p), np.array(R_x), atol=5e-6)
+    np.testing.assert_allclose(np.array(t_p), np.array(t_x), atol=1e-4)
+    assert float(jnp.linalg.norm(t_p - tt)) < 0.02

@@ -72,7 +72,7 @@ class LoopCloser:
             # temporal exclusion in addition to covisibility
             recent = jnp.arange(s.kmax) > (kf_row - cfg.min_temporal_gap)
             idx, vals, ok = recognition.loop_candidates(
-                self.db, bow, kf_row, covis | recent, min_score
+                self.db, bow, kf_row, covis | recent, min_score, covis_W=W
             )
             for cand, okc in zip(np.array(idx), np.array(ok)):
                 if not okc:

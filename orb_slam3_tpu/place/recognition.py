@@ -65,18 +65,43 @@ def reloc_candidates(db: KeyframeDB, bow, top_n: int = 3):
 
 
 def loop_candidates(db: KeyframeDB, bow, query_kf, covis_row, min_covis_score,
-                    top_n: int = 3):
+                    top_n: int = 3, covis_W=None, group_size: int = 10):
     """DetectNBestCandidates for loop/merge: exclude the query KF and its
     covisible neighbors; require score >= the worst covisible score
     (LoopClosing.cc:491, KeyFrameDatabase.cc:604-729).
 
     covis_row: [Kmax] bool — covisible-with-query mask.
+    covis_W: optional [Kmax, Kmax] covisibility weights. When given, applies
+    the reference's covisibility-group accumulation (KeyFrameDatabase.cc:
+    674-729): each candidate's score is summed over its best-`group_size`
+    covisible neighbors, groups are ranked by that accumulated score, and
+    the best-scoring MEMBER of each winning group is returned — a candidate
+    weakly matched directly but surrounded by strong matches still surfaces.
     """
+    K = db.valid.shape[0]
     exclude = covis_row.at[query_kf].set(True)
     s = query(db, bow, exclude_mask=exclude)
     s = jnp.where(s >= min_covis_score, s, -1.0)
-    vals, idx = jax.lax.top_k(s, top_n)
-    return idx, vals, vals > 0.0
+    if covis_W is None:
+        vals, idx = jax.lax.top_k(s, top_n)
+        return idx, vals, vals > 0.0
+
+    sp = jnp.maximum(s, 0.0)  # excluded/invalid rows contribute 0
+    k = min(group_size, K - 1)
+    topw, topi = jax.lax.top_k(covis_W, k)          # [K, k] best covisibles
+    member = sp[topi] * (topw > 0)                   # [K, k]
+    acc = sp + jnp.sum(member, axis=1)               # group score per candidate
+    acc = jnp.where(s > 0, acc, -1.0)                # candidate must score itself
+    # best-scoring member of each group (self included)
+    mem_scores = jnp.concatenate([sp[:, None], member], axis=1)   # [K, k+1]
+    mem_ids = jnp.concatenate(
+        [jnp.arange(K, dtype=topi.dtype)[:, None], topi], axis=1
+    )
+    best_m = jnp.argmax(mem_scores, axis=1)
+    best_kf = jnp.take_along_axis(mem_ids, best_m[:, None], axis=1)[:, 0]
+
+    vals, gidx = jax.lax.top_k(acc, top_n)
+    return best_kf[gidx], vals, vals > 0.0
 
 
 # ---------------------------------------------------------------------------

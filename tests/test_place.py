@@ -168,3 +168,43 @@ def test_load_orb_text_dbow2_format(tmp_path):
     # BoW vector normalizes and scores
     bow = vocab.bow_vector(voc, jnp.asarray(q), jnp.ones(6, bool))
     assert abs(float(np.abs(np.array(bow)).sum()) - 1.0) < 1e-5
+
+
+def test_loop_candidates_group_accumulation():
+    """Covisibility-group accumulation (KeyFrameDatabase.cc:674-729): a
+    candidate with a modest direct score but strongly-matching covisible
+    neighbors must outrank an isolated candidate with a slightly higher
+    direct score, and the returned row is the group's best-scoring MEMBER."""
+    import jax.numpy as jnp
+
+    K = 8
+    n_words = 4
+    db = recognition.KeyframeDB.empty(K, n_words)
+    # hand-crafted BoW rows (L1-normalized)
+    q = jnp.asarray([0.5, 0.5, 0.0, 0.0])
+    rows = {
+        0: jnp.asarray([0.45, 0.45, 0.10, 0.0]),  # group A anchor (modest)
+        1: jnp.asarray([0.50, 0.50, 0.0, 0.0]),   # group A member (perfect)
+        2: jnp.asarray([0.40, 0.40, 0.20, 0.0]),  # group A member (good)
+        5: jnp.asarray([0.48, 0.46, 0.06, 0.0]),  # isolated, higher direct
+    }
+    for r, b in rows.items():
+        db = db.add(r, b)
+    W = jnp.zeros((K, K))
+    for a, b in ((0, 1), (0, 2), (1, 2)):
+        W = W.at[a, b].set(30.0).at[b, a].set(30.0)
+
+    covis_row = jnp.zeros(K, bool)
+    idx, vals, ok = recognition.loop_candidates(
+        db, q, query_kf=7, covis_row=covis_row, min_covis_score=0.0,
+        covis_W=W,
+    )
+    assert bool(ok[0])
+    # winning group is A; its best member is row 1 (perfect match)
+    assert int(idx[0]) == 1, (np.array(idx), np.array(vals))
+
+    # without group accumulation, the isolated candidate 5 wins directly
+    idx2, _, ok2 = recognition.loop_candidates(
+        db, q, query_kf=7, covis_row=covis_row, min_covis_score=0.0,
+    )
+    assert bool(ok2[0]) and int(idx2[0]) in (1, 5)

@@ -212,6 +212,9 @@ class OrbConfig:
     min_th_fast: float = 7.0
     cell: int = 35
     border: int = 19  # EDGE_THRESHOLD (ORBextractor.cc:73)
+    # subpixel corner refinement (quadratic fit on the FAST score map) —
+    # beyond the reference's integer keypoints; pure accuracy win
+    subpixel: bool = True
 
     def features_per_level(self):
         """Geometric feature budget per level (ORBextractor ctor :409-430)."""
@@ -249,12 +252,17 @@ def extract_level_patches(img, n_max: int, cfg: OrbConfig):
     """Single-level detect + select + patch gather (level coords).
     Returns (xy, score, valid, raw_flat, blur_flat); orientation and
     descriptors are computed once on the concatenated patches of all
-    levels (they are per-row independent)."""
-    resp = fast_mod.detect(
-        img, cfg.ini_th_fast, cfg.min_th_fast, cell=cfg.cell, border=cfg.border
+    levels (they are per-row independent). xy carries subpixel offsets
+    from a quadratic fit on the FAST score map (cfg.subpixel); patches are
+    gathered at the integer corner like the reference."""
+    resp, raw_score = fast_mod.detect(
+        img, cfg.ini_th_fast, cfg.min_th_fast, cell=cfg.cell,
+        border=cfg.border, return_score=True,
     )
     xy, score, valid = select_mod.select_keypoints(resp, n_max, cell=cfg.cell)
     xy_int = xy.astype(jnp.int32)
+    if cfg.subpixel:
+        xy = xy + fast_mod.subpixel_offsets(raw_score, xy_int)
     blurred = pyr_mod.gaussian_blur(img)
     both = gather_patches_flat_multi(jnp.stack([img, blurred]), xy_int)
     return xy, score, valid, both[0], both[1]

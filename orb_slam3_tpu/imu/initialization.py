@@ -45,7 +45,7 @@ def initial_gravity_estimate(kf_R_wb, dV_list, dT_list):
     return lie.so3_exp(axis * ang)
 
 
-def linear_alignment(R_wb, t_wb, preints):
+def linear_alignment(R_wb, t_wb, preints, max_trim: int = 2):
     """Closed-form visual-inertial alignment, errors-in-variables correct.
 
     With poses fixed and biases zero, parameterize in VISUAL units with
@@ -71,6 +71,12 @@ def linear_alignment(R_wb, t_wb, preints):
     scale = G/||h|| (robust), scale_q = 1/q (consistency witness), and
     velocities are in visual units (matching inertial_gs_residual's GS
     parameterization).
+
+    Robustness: up to `max_trim` position equations whose residual is a
+    gross outlier (>4x the median) are removed and the system re-solved —
+    a single badly-estimated visual keyframe pose corrupts the dp of its
+    two adjacent intervals and would otherwise poison the whole alignment
+    (the exact velocity-chain rows are kept; they contain no visual noise).
     """
     R = np.asarray(R_wb, np.float64)
     p = np.asarray(t_wb, np.float64)
@@ -95,7 +101,26 @@ def linear_alignment(R_wb, t_wb, preints):
         A[r1:r1 + 3, 3 * i:3 * i + 3] = -I3 * W_EV
         A[r1:r1 + 3, 3 * Kn:3 * Kn + 3] = -I3 * (dT * W_EV)
         A[r1:r1 + 3, 3 * Kn + 3] = -(R[i] @ dV) * W_EV
-    x, *_ = np.linalg.lstsq(A, rhs, rcond=None)
+    ep_w = np.ones(n_e)
+    for _ in range(max_trim + 1):
+        Aw = A.copy()
+        rw = rhs.copy()
+        for i in range(n_e):
+            if ep_w[i] == 0.0:
+                Aw[6 * i:6 * i + 3] = 0.0
+                rw[6 * i:6 * i + 3] = 0.0
+        x, *_ = np.linalg.lstsq(Aw, rw, rcond=None)
+        if int(ep_w.sum()) <= max(4, n_e - max_trim):
+            break
+        res = (A @ x - rhs).reshape(n_e, 6)[:, :3]
+        r_ep = np.linalg.norm(res, axis=1)
+        r_ep = np.where(ep_w > 0, r_ep, 0.0)
+        worst = int(np.argmax(r_ep))
+        med = float(np.median(r_ep[ep_w > 0]))
+        if r_ep[worst] > 4.0 * max(med, 1e-9):
+            ep_w[worst] = 0.0
+        else:
+            break
     h = x[3 * Kn:3 * Kn + 3]
     q = float(x[-1])
     nh = float(np.linalg.norm(h))

@@ -91,6 +91,15 @@ class FrameRecord:
 
 class Tracker:
     def __init__(self, cfg: TrackerConfig):
+        if "imu" in cfg.sensor and cfg.orb.subpixel:
+            # subpixel corner refinement measured to destabilize the
+            # visual-inertial initialization window (mono scale break at a
+            # keyframe that local BA does not repair) — keep integer corners
+            # for IMU modes pending a round-2 investigation; pure-visual
+            # modes keep the ~2.4x ATE improvement
+            cfg = dataclasses.replace(
+                cfg, orb=dataclasses.replace(cfg.orb, subpixel=False)
+            )
         self.cfg = cfg
         self.map = atlas_state.empty(
             kmax=cfg.kmax, fmax=cfg.orb.n_features, lmax=cfg.lmax

@@ -94,42 +94,13 @@ def nonmax_3x3(score):
     return jnp.where((score >= mx) & (score > 0.0), score, 0.0)
 
 
-def subpixel_offsets(score, xy_int):
-    """Per-keypoint subpixel offsets from a 3-point quadratic fit on the
-    raw (pre-NMS, threshold-free) score map, per axis. No reference
-    counterpart (the reference keeps integer FAST corners) — an accuracy
-    upgrade for downstream geometry.
-
-    The fit only applies where the center is a true 1-D local maximum of
-    the RAW score (NMS ran on the thresholded map, whose cell thresholds
-    differ, so this is not guaranteed); elsewhere the parabola vertex lies
-    outside the pixel and a clamped offset would inject biased half-pixel
-    noise — measured to destabilize visual-inertial initialization."""
-    h, w = score.shape
-    x = jnp.clip(xy_int[:, 0], 1, w - 2)
-    y = jnp.clip(xy_int[:, 1], 1, h - 2)
-
-    def fit(sm, s0, sp):
-        denom = sm - 2.0 * s0 + sp
-        well_posed = (denom < -1e-6) & (sm <= s0) & (sp <= s0)
-        off = jnp.where(well_posed, 0.5 * (sm - sp) / jnp.minimum(denom, -1e-6), 0.0)
-        return jnp.clip(off, -0.5, 0.5)
-
-    s0 = score[y, x]
-    dx = fit(score[y, x - 1], s0, score[y, x + 1])
-    dy = fit(score[y - 1, x], s0, score[y + 1, x])
-    return jnp.stack([dx, dy], axis=-1)
-
-
 def detect(img, hi_threshold: float = 20.0, lo_threshold: float = 7.0,
-           cell: int = 35, border: int = 16, return_score: bool = False):
+           cell: int = 35, border: int = 16):
     """Dual-threshold FAST with per-cell fallback + NMS.
 
     Mirrors the reference policy (`ORBextractor.cc:785-859`): run at
     iniThFAST; any `cell`-sized cell with no response retries at minThFAST.
-    Returns the final [H, W] response map (0 = no corner), border-masked;
-    with return_score=True also the raw threshold-free score map (for
-    subpixel refinement).
+    Returns the final [H, W] response map (0 = no corner), border-masked.
     """
     h, w = img.shape
     s = fast_score(img)  # one pass serves both thresholds
@@ -153,7 +124,4 @@ def detect(img, hi_threshold: float = 20.0, lo_threshold: float = 7.0,
     in_border = (
         (ys >= border) & (ys < h - border) & (xs >= border) & (xs < w - border)
     )
-    resp = jnp.where(in_border, resp, 0.0)
-    if return_score:
-        return resp, s
-    return resp
+    return jnp.where(in_border, resp, 0.0)

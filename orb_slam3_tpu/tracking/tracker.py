@@ -91,15 +91,6 @@ class FrameRecord:
 
 class Tracker:
     def __init__(self, cfg: TrackerConfig):
-        if "imu" in cfg.sensor and cfg.orb.subpixel:
-            # subpixel corner refinement measured to destabilize the
-            # visual-inertial initialization window (mono scale break at a
-            # keyframe that local BA does not repair) — keep integer corners
-            # for IMU modes pending a round-2 investigation; pure-visual
-            # modes keep the ~2.4x ATE improvement
-            cfg = dataclasses.replace(
-                cfg, orb=dataclasses.replace(cfg.orb, subpixel=False)
-            )
         self.cfg = cfg
         self.map = atlas_state.empty(
             kmax=cfg.kmax, fmax=cfg.orb.n_features, lmax=cfg.lmax
@@ -745,11 +736,19 @@ class Tracker:
             self.imu.commit_keyframe(kf, timestamp)
 
         # stereo/RGBD: create landmarks directly from depth for unbound close
-        # points (CreateNewKeyFrame, Tracking.cc:3247-3331)
+        # points (CreateNewKeyFrame, Tracking.cc:3247-3331). "Close" uses the
+        # reference's METRIC threshold mThDepth = bf * thDepth / fx
+        # (Tracking.cc:628-633); beyond it, only the ~100 nearest points are
+        # created (the nPoints < 100 rule, Tracking.cc:3303-3331) — far
+        # single-view depth is the least reliable and must not flood the map.
         if self.base_sensor != "mono" and self._frame_depth is not None:
             depth = self._frame_depth
             unbound = feats.valid & (self._feat_lm < 0)
-            close = (depth > cfg.min_depth) & (depth < cfg.th_depth) & unbound
+            has_depth = (depth > cfg.min_depth) & unbound
+            th_depth_m = cfg.bf * cfg.th_depth / float(np.asarray(cfg.K)[0])
+            d_rank = jnp.where(has_depth, depth, jnp.inf)
+            rank = jnp.argsort(jnp.argsort(d_rank))  # depth order per feature
+            close = has_depth & ((depth < th_depth_m) | (rank < 100))
             rays = cam.unproject(cfg.kind, cfg.K, feats.xy)
             Xc = rays * depth[:, None]
             Rw, tw = lie.se3_inv(self.last["R"], self.last["t"])

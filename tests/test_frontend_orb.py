@@ -117,3 +117,35 @@ class TestORB:
         feats = f(jnp.asarray(img))
         feats2 = f(jnp.asarray(synth_image(5)))
         assert int(feats2.valid.sum()) > 100
+
+
+class TestSubpixelRefinement:
+    def test_recovers_fractional_corner(self):
+        """refine_corners_flat must recover a known subpixel corner position
+        of a smooth (band-limited) quadrant corner."""
+        import scipy.ndimage as ndi
+
+        for ox, oy in [(0.3, -0.2), (-0.4, 0.1), (0.0, 0.45)]:
+            # bright quadrant with corner at (40 + ox, 40 + oy), rendered
+            # with 8x pixel-center-aligned supersampling then blurred
+            # (optics stand-in): pixel i averages [i-0.5, i+0.5)
+            ss = 8
+            H = 80 * ss
+            coords = (np.arange(H) + 0.5) / ss - 0.5
+            xx = coords[None, :]
+            yy = coords[:, None]
+            # saddle (checkerboard) corner — the estimator's canonical
+            # target: gradient structure is symmetric, so the corner is the
+            # unbiased stationary point (L-shaped corners carry an inherent
+            # inward bias for any gradient-orthogonality method)
+            img_ss = (
+                (xx > 40 + ox) ^ (yy > 40 + oy)
+            ).astype(np.float32) * 200
+            img = img_ss.reshape(80, ss, 80, ss).mean(axis=(1, 3))
+            img = ndi.gaussian_filter(img, 1.0)
+
+            xy = jnp.asarray([[40, 40]], jnp.int32)
+            patch = orb_mod.gather_patches_flat(jnp.asarray(img), xy)
+            off = np.array(orb_mod.refine_corners_flat(patch))[0]
+            assert abs(off[0] - ox) < 0.15, (ox, oy, off)
+            assert abs(off[1] - oy) < 0.15, (ox, oy, off)

@@ -40,9 +40,10 @@ def test_rgbd_end_to_end():
     gt_c = evaluate.camera_centers(R_gt[ok], t_gt[ok])
     rmse, nm, s = evaluate.ate_rmse(ts[ok], est_c, ts[ok], gt_c, with_scale=False)
     # metric depth: no scale alignment allowed; trajectory is ~0.9 units at
-    # mean scene depth 5.5. Round-1 gate ~5% relative; reference-level (~1%)
-    # needs subpixel keypoints — round-2 item.
-    assert rmse < 0.30, f"RGBD ATE {rmse:.4f}"
+    # mean scene depth 5.5. Measured 0.035 after the metric-thDepth parity
+    # fix (mThDepth = bf*thDepth/fx + the <=100-nearest creation rule,
+    # Tracking.cc:628,3303-3331); gate with ~3x headroom.
+    assert rmse < 0.10, f"RGBD ATE {rmse:.4f}"
     assert abs(1.0 - s) < 1e-6  # with_scale=False
 
 

@@ -760,15 +760,21 @@ class Tracker:
                 jnp.arange(Xw.shape[0], dtype=jnp.int32),
             )
 
-        # triangulate new points against the previous keyframes
-        # (CreateNewMapPoints uses the nn=10/30 best covisible neighbors,
-        # LocalMapping.cc:391-408; round 1 uses the temporal neighbors).
-        # Depth sensors already created close points above; triangulating the
-        # depth-rejected leftovers (mostly occlusion boundaries) poisons the
-        # map, so only mono triangulates here in round 1.
-        prev_rows = [self.last_kf_row] if self.base_sensor == "mono" else []
-        if self.base_sensor == "mono" and int(s.n_kf) >= 3:
-            prev_rows.append(int(s.n_kf) - 3)  # second-previous KF
+        # triangulate new points against the best covisible neighbor
+        # keyframes (CreateNewMapPoints, LocalMapping.cc:391-408 uses the
+        # nn=10 best covisibles; 3 here — wider baselines than pure temporal
+        # neighbors constrain landmark scale better). Depth sensors already
+        # created close points above; triangulating the depth-rejected
+        # leftovers (mostly occlusion boundaries) poisons the map, so only
+        # mono triangulates here.
+        prev_rows = []
+        if self.base_sensor == "mono":
+            W = np.array(atlas_state.covisibility_weights(s)[kf])
+            W[kf] = 0
+            order = np.argsort(-W)
+            prev_rows = [int(r) for r in order[:3] if W[r] >= 15]
+            if not prev_rows and self.last_kf_row >= 0:
+                prev_rows = [self.last_kf_row]
         for prev in prev_rows:
             Xw, f1, f2, accept = local_mapper.triangulate_pair(
                 cfg.kind, cfg.K, s, kf, prev, self.scale_factors

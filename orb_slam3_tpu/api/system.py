@@ -70,6 +70,11 @@ class System:
             from ..atlas import ops as atlas_ops
 
             self.tracker.map = atlas_ops.create_map(self.tracker.map)
+            # rebuild the place-recognition DB from the loaded keyframes
+            # (Atlas::PostLoad re-adds every KF to the KFDB, System.cc:1497);
+            # without it relocalization/merge against the loaded maps is dead
+            if self.tracker.loop_closer is not None:
+                self.tracker.loop_closer.rebuild_db(self.tracker.map)
 
     # ------------------------------------------------------------------
     def track_monocular(self, img, timestamp: float, imu=None):

@@ -79,27 +79,40 @@ def add_landmarks(s: MapState, pos, desc, first_kf, new_valid,
     M = pos.shape[0]
     L = s.lmax
     offs = jnp.cumsum(new_valid.astype(jnp.int32)) - 1
-    rows = jnp.clip(s.n_lm + offs, 0, L - 1)
-    safe_rows = jnp.where(new_valid, rows, L - 1)
+    rows = s.n_lm + offs
+    # arena overflow: REFUSE the landmarks that do not fit (returned as
+    # NO_LM, nothing written) instead of clobbering an existing row — the
+    # reference's unbounded heap never clobbers (KeyFrame::AddMapPoint); the
+    # caller is expected to compact (atlas.compaction) before hitting this.
+    fits = new_valid & (rows < L)
+    rows = jnp.clip(rows, 0, L - 1)
+    safe_rows = jnp.where(fits, rows, L - 1)
 
     lm_pos = s.lm_pos.at[safe_rows].set(
-        jnp.where(new_valid[:, None], pos, s.lm_pos[safe_rows])
+        jnp.where(fits[:, None], pos, s.lm_pos[safe_rows])
     )
     lm_desc = s.lm_desc.at[safe_rows].set(
-        jnp.where(new_valid[:, None], desc, s.lm_desc[safe_rows])
+        jnp.where(fits[:, None], desc, s.lm_desc[safe_rows])
     )
     lm_valid = s.lm_valid.at[safe_rows].set(
-        jnp.where(new_valid, True, s.lm_valid[safe_rows])
+        jnp.where(fits, True, s.lm_valid[safe_rows])
     )
     lm_map = s.lm_map_id.at[safe_rows].set(
-        jnp.where(new_valid, s.active_map, s.lm_map_id[safe_rows])
+        jnp.where(fits, s.active_map, s.lm_map_id[safe_rows])
     )
     lm_first = s.lm_first_kf.at[safe_rows].set(
-        jnp.where(new_valid, first_kf, s.lm_first_kf[safe_rows])
+        jnp.where(fits, first_kf, s.lm_first_kf[safe_rows])
+    )
+    # fresh rows may be reused after compaction: clear stats
+    lm_vis = s.lm_visible.at[safe_rows].set(
+        jnp.where(fits, 0, s.lm_visible[safe_rows])
+    )
+    lm_fnd = s.lm_found.at[safe_rows].set(
+        jnp.where(fits, 0, s.lm_found[safe_rows])
     )
     # bind observations
     kf_feat_lm = s.kf_feat_lm.at[kf_rows, feat_idx].set(
-        jnp.where(new_valid, rows, s.kf_feat_lm[kf_rows, feat_idx])
+        jnp.where(fits, rows, s.kf_feat_lm[kf_rows, feat_idx])
     )
     return (
         dataclasses.replace(
@@ -109,10 +122,14 @@ def add_landmarks(s: MapState, pos, desc, first_kf, new_valid,
             lm_valid=lm_valid,
             lm_map_id=lm_map,
             lm_first_kf=lm_first,
+            lm_visible=lm_vis,
+            lm_found=lm_fnd,
             kf_feat_lm=kf_feat_lm,
-            n_lm=s.n_lm + jnp.sum(new_valid.astype(jnp.int32)),
+            n_lm=jnp.minimum(
+                s.n_lm + jnp.sum(new_valid.astype(jnp.int32)), L
+            ),
         ),
-        jnp.where(new_valid, rows, NO_LM),
+        jnp.where(fits, rows, NO_LM),
     )
 
 

@@ -51,6 +51,24 @@ class LoopCloser:
         self.n_merges = 0
 
     # ------------------------------------------------------------------
+    def rebuild_db(self, s: atlas_state.MapState):
+        """Repopulate the keyframe database from a loaded MapState — every
+        valid keyframe's BoW vector is re-added, exactly the reference's
+        PostLoad path (`/root/reference/src/System.cc:1445-1506` ->
+        `Atlas::PostLoad`, `Atlas.cc:335`: `mpKeyFrameDB->add(pKF)` per KF).
+        Without this, relocalization/loop/merge against a resumed map can
+        never fire."""
+        self.db = recognition.KeyframeDB.empty(s.kmax, self.voc.n_words)
+        valid = np.array(s.kf_valid)
+        for k in range(int(s.n_kf)):
+            if not valid[k]:
+                continue
+            bow = vocab_mod.bow_vector(
+                self.voc, s.kf_feat_desc[k], s.kf_feat_valid[k]
+            )
+            self.db = self.db.add(k, bow)
+
+    # ------------------------------------------------------------------
     def on_keyframe(self, s: atlas_state.MapState, kf_row: int, kind: int, K8):
         """Detect + correct. Returns (possibly corrected) MapState."""
         cfg = self.cfg

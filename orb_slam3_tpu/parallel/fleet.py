@@ -35,7 +35,7 @@ def _track_one(img, lm_pos, lm_desc, lm_valid, lm_maxd, lm_mind, lm_normal,
                R0, t0, *, cfg_orb, kind, K, img_wh, scale_factors,
                match_radius):
     feats = orb.extract(img, cfg_orb)
-    idx, ok, visible, _ = track_mod.match_local_map(
+    idx, ok, visible, _, _d = track_mod.match_local_map(
         kind, K, R0, t0, lm_pos, lm_desc, lm_valid, lm_maxd, lm_mind,
         lm_normal, feats.xy, feats.descriptors, feats.octave, feats.valid,
         match_radius, scale_factors, img_wh=img_wh,

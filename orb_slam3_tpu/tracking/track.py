@@ -256,4 +256,4 @@ def match_local_map(kind: int, K, R, t, lm_pos, lm_desc, lm_valid,
         radius_px, scale_factors,
         max_dist=matching.TH_HIGH, ratio=0.8, level_lo=-1, level_hi=1,
     )
-    return idx, ok, visible, uv_pred
+    return idx, ok, visible, uv_pred, d

@@ -592,7 +592,7 @@ class Tracker:
     def _match_and_optimize(self, s, feats, R0, t0, lm_mask, radius,
                             update_stats=False):
         cfg = self.cfg
-        idx, ok, visible, uv_pred = track_mod.match_local_map(
+        idx, ok, visible, uv_pred, mdist = track_mod.match_local_map(
             cfg.kind, cfg.K, R0, t0,
             s.lm_pos, s.lm_desc, lm_mask,
             s.lm_max_dist, s.lm_min_dist, s.lm_normal,
@@ -635,8 +635,9 @@ class Tracker:
             )
             self._tracked_lms = inlier  # continuity set for next frame
             # per-feature landmark assignment for KF creation
-            self._last_feat_lm = self._assign_features(idx, inlier, s.lmax,
-                                                       feats.xy.shape[0])
+            self._last_feat_lm = self._assign_features(
+                idx, inlier, mdist, s.lmax, feats.xy.shape[0]
+            )
         return R, t, inlier, n
 
     def _vi_pose_optimize(self, s, feats, idx, ok, R0, t0, inv_sig2):
@@ -706,16 +707,20 @@ class Tracker:
         return R, t, inlier, n
 
     @staticmethod
-    def _assign_features(idx, ok, lmax, n_feat):
+    def _assign_features(idx, ok, dist, lmax, n_feat):
         """Invert the per-landmark match (landmark -> feature) into a
-        per-feature landmark row array (feature -> landmark, NO_LM if none)."""
+        per-feature landmark row array (feature -> landmark, NO_LM if none).
+        Two landmarks matching the same feature resolve by best descriptor
+        distance (the reference keeps the best match per keypoint,
+        ORBmatcher::SearchByProjection bestDist bookkeeping) — scatter-min on
+        a packed (distance, row) key so the smallest distance wins."""
         lm_rows = jnp.arange(lmax, dtype=jnp.int32)
-        feat_lm = jnp.full((n_feat,), atlas_state.NO_LM, jnp.int32)
-        # later writes win; conflicts are rare (one feature best-matching two
-        # landmarks) and harmless
-        return feat_lm.at[jnp.where(ok, idx, n_feat)].set(
-            jnp.where(ok, lm_rows, 0), mode="drop"
-        )
+        big = jnp.int32(2**30)
+        key = dist.astype(jnp.int32) * lmax + lm_rows  # dist major, row minor
+        best = jnp.full((n_feat,), big, jnp.int32).at[
+            jnp.where(ok, idx, n_feat)
+        ].min(jnp.where(ok, key, big), mode="drop")
+        return jnp.where(best < big, best % lmax, atlas_state.NO_LM)
 
     # ------------------------------------------------------------------
     def _insert_keyframe(self, feats, timestamp, n_inliers):

@@ -68,6 +68,46 @@ def test_relocalization_after_blackout():
     assert int(t.map.n_maps) == 1  # no new map was needed
 
 
+def test_atlas_resume_relocalizes_into_loaded_map(tmp_path):
+    """Save -> reload -> the rebuilt keyframe database lets the resumed
+    session merge its fresh map into the loaded one (System::LoadAtlas ->
+    Atlas::PostLoad KFDB re-add, /root/reference/src/System.cc:1445-1506;
+    resume = localization + extension against prior maps)."""
+    from orb_slam3_tpu.api import checkpoint
+    from orb_slam3_tpu.api.system import System
+
+    scene = PlaneScene(np.array(K), img_wh=IMG_WH, two_planes=True, seed=7)
+    R_gt, t_gt = orbit_trajectory(40, advance=0.05)
+
+    # session 1: build a map over frames 0..19, save the atlas
+    t = _tracker_with_vocab(scene, kf_max_frames=2)
+    for i in range(20):
+        img, depth = scene.render_with_depth(R_gt[i], t_gt[i])
+        t.process(img, i * 0.05, depth_map=depth)
+    assert t.state == trk.OK
+    assert int(t.map.n_kf) >= 8
+    voc = t.loop_closer.voc
+    path = str(tmp_path / "session1.npz")
+    checkpoint.save_atlas(path, t.map, voc)
+
+    # session 2: reload and track through the SAME region
+    cfg = t.cfg
+    sys2 = System(config=cfg, vocabulary=voc, atlas_path=path)
+    t2 = sys2.tracker
+    assert int(np.array(t2.loop_closer.db.valid).sum()) >= 8, \
+        "KF database was not rebuilt on load"
+    merged = False
+    for k, i in enumerate(range(2, 40, 2)):
+        img, depth = scene.render_with_depth(R_gt[i], t_gt[i])
+        t2.process(img, 100.0 + k * 0.05, depth_map=depth)
+        if t2.loop_closer.n_merges > 0:
+            merged = True
+            break
+    assert merged, "resumed session never merged into the loaded map"
+    ids = np.array(t2.map.kf_map_id)[np.array(t2.map.kf_valid)]
+    assert len(np.unique(ids)) == 1
+
+
 def test_multimap_merge():
     """Lose tracking in unseen territory -> new Atlas map; return to the
     original region -> cross-map merge relabels and aligns the maps."""

@@ -130,6 +130,8 @@ class System:
     def reset(self):
         """System::Reset: drop everything and start a fresh Atlas."""
         cfg = self.tracker.cfg
+        if self.tracker.async_mapper is not None:
+            self.tracker.async_mapper.stop()
         self.tracker = trk.Tracker(cfg)
         if self.vocabulary is not None:
             self.tracker.attach_loop_closer(self.vocabulary)
@@ -165,11 +167,14 @@ class System:
         (LoopClosing.cc:1199-1207)."""
         from ..mapping.global_ba import GlobalBARunner
 
+        self.tracker.sync_mapping()
         runner = GlobalBARunner(self.tracker.cfg.K, self.tracker.cfg.kind,
                                 num_iters=num_iters)
         self.tracker.map = runner.run(self.tracker.map)
+        self.tracker._mapper_stale = self.tracker.async_mapper is not None
 
     def save_atlas(self, path: str):
+        self.tracker.sync_mapping()
         checkpoint.save_atlas(path, self.tracker.map, self.vocabulary)
 
     def change_dataset(self):
@@ -200,12 +205,20 @@ class System:
                 )
 
     def shutdown(self):
-        """System::Shutdown (System.cc:515): join the background global-BA
-        campaign if one is running and fold its result into the map."""
+        """System::Shutdown (System.cc:515): drain the background mapper,
+        join the background global-BA campaign if one is running and fold
+        its result into the map."""
         t = self.tracker
-        if t.gba is not None and t.gba.running:
-            t.gba.request_abort()
-            t.gba.join(timeout=60.0)
-        if t.gba is not None and t.gba.finished:
-            t.map = t.gba.reconcile(t.map)
-            t.gba = None
+        t.sync_mapping()
+        m = t.async_mapper
+        gba = m.gba if m is not None and m.gba is not None else t.gba
+        if gba is not None and gba.running:
+            gba.request_abort()
+            gba.join(timeout=60.0)
+        if gba is not None and gba.finished:
+            t.map = gba.reconcile(t.map)
+            t._mapper_stale = m is not None
+        if m is not None:
+            m.stop()
+            t.async_mapper = None
+        t.gba = None

@@ -1,0 +1,201 @@
+"""The per-keyframe mapping pipeline as reusable stage functions.
+
+This is the LocalMapping work unit (`/root/reference/src/LocalMapping.cc:
+64-282`): keyframe insertion, depth-landmark creation, triangulation of new
+map points, fuse, windowed local BA, culling. The stages are pure
+`MapState -> MapState` transforms so the SAME code runs
+
+- synchronously inside the tracker (`Tracker._insert_keyframe`, the
+  inertial path and `async_mapping=False`), and
+- on the background mapper thread (`runtime.mapper.AsyncMapper`, the
+  reference's LocalMapping/LoopClosing threads) operating on immutable
+  snapshots with atomic commits (SURVEY.md §7.1: snapshots instead of
+  locks).
+
+A `KFPackage` is the queue element between tracking and mapping — the role
+of `LocalMapping::InsertKeyFrame`'s `mlNewKeyFrames` entry
+(`LocalMapping.cc:284-296`), carrying the frame measurements plus the
+tracker's buffered per-landmark statistics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..atlas import ops as atlas_ops
+from ..atlas import state as atlas_state
+from ..frontend import camera as cam
+from ..ops import lie
+from . import fuse, local_mapper
+
+
+@dataclasses.dataclass
+class KFPackage:
+    """One keyframe's worth of tracking output, bound to snapshot rows."""
+
+    R: jnp.ndarray              # [3,3] Tcw at creation (tracker's frame)
+    t: jnp.ndarray              # [3]
+    timestamp: float
+    feat_xy: jnp.ndarray        # [F,2]
+    feat_octave: jnp.ndarray    # [F]
+    feat_angle: jnp.ndarray     # [F]
+    feat_desc: jnp.ndarray      # [F,32]
+    feat_valid: jnp.ndarray     # [F]
+    feat_lm: jnp.ndarray        # [F] landmark rows vs the tracking snapshot
+    feat_ur: Optional[jnp.ndarray]
+    feat_depth: Optional[jnp.ndarray]
+    n_inliers: int
+    # buffered per-landmark tracking statistics since the last package
+    # (mnVisible/mnFound, Tracking::SearchLocalPoints bookkeeping)
+    stat_vis: Optional[jnp.ndarray] = None    # [L] int32
+    stat_found: Optional[jnp.ndarray] = None  # [L] int32
+
+
+def apply_frame_stats(s: atlas_state.MapState, pkg: KFPackage):
+    if pkg.stat_vis is None:
+        return s
+    return dataclasses.replace(
+        s,
+        lm_visible=s.lm_visible + pkg.stat_vis,
+        lm_found=s.lm_found + pkg.stat_found,
+    )
+
+
+def insert_keyframe_pkg(s: atlas_state.MapState, pkg: KFPackage, cfg,
+                        base_sensor: str, parent_row: int):
+    """Add the keyframe row + depth-derived close landmarks
+    (Tracking::CreateNewKeyFrame, /root/reference/src/Tracking.cc:3216-3331).
+
+    feat_lm bindings are re-validated against the CURRENT landmark validity:
+    rows culled between tracking and mapping detach instead of binding a
+    dead landmark (the reference's MapPoint::isBad checks at insertion).
+    Returns (state, kf_row)."""
+    L = s.lmax
+    feat_lm = pkg.feat_lm
+    if feat_lm is not None:
+        alive = s.lm_valid[jnp.clip(feat_lm, 0, L - 1)] & (feat_lm >= 0)
+        feat_lm = jnp.where(alive, feat_lm, atlas_state.NO_LM)
+    # NOTE on gauge staleness: the package pose was optimized against the
+    # tracker's adopted landmark snapshot, which keeps it aligned to the
+    # mapper's gauge up to one commit of lag. Re-anchoring it through the
+    # reference keyframe's pose delta was measured to HURT (the newest KF's
+    # per-BA wiggle is noisier than the pose's own landmark anchoring), so
+    # the package pose is inserted as tracked.
+    R_pkg, t_pkg = pkg.R, pkg.t
+    s, kf = atlas_ops.add_keyframe(
+        s, R_pkg, t_pkg, pkg.timestamp,
+        pkg.feat_xy, pkg.feat_octave, pkg.feat_angle, pkg.feat_desc,
+        pkg.feat_valid,
+        feat_lm=feat_lm, feat_ur=pkg.feat_ur, feat_depth=pkg.feat_depth,
+        parent=jnp.asarray(parent_row, jnp.int32),
+        prev=jnp.asarray(parent_row, jnp.int32),
+    )
+    kf = int(kf)
+
+    # stereo/RGBD: create landmarks directly from depth for unbound close
+    # points (Tracking.cc:3247-3331). "Close" uses the reference's METRIC
+    # threshold mThDepth = bf * thDepth / fx (Tracking.cc:628-633); beyond
+    # it only the ~100 nearest are created.
+    if base_sensor != "mono" and pkg.feat_depth is not None:
+        depth = pkg.feat_depth
+        unbound = pkg.feat_valid & (s.kf_feat_lm[kf] < 0)
+        has_depth = (depth > cfg.min_depth) & unbound
+        th_depth_m = cfg.bf * cfg.th_depth / float(np.asarray(cfg.K)[0])
+        d_rank = jnp.where(has_depth, depth, jnp.inf)
+        rank = jnp.argsort(jnp.argsort(d_rank))
+        close = has_depth & ((depth < th_depth_m) | (rank < 100))
+        rays = cam.unproject(cfg.kind, cfg.K, pkg.feat_xy)
+        Xc = rays * depth[:, None]
+        Rw, tw = lie.se3_inv(R_pkg, t_pkg)
+        Xw = lie.se3_apply(Rw, tw, Xc)
+        s, _ = atlas_ops.add_landmarks(
+            s, Xw, pkg.feat_desc,
+            jnp.full((Xw.shape[0],), kf, jnp.int32), close,
+            jnp.full((Xw.shape[0],), kf, jnp.int32),
+            jnp.arange(Xw.shape[0], dtype=jnp.int32),
+        )
+    return s, kf
+
+
+def triangulate_mono(s: atlas_state.MapState, kf: int, cfg, scale_factors,
+                     fallback_row: int, n_neighbors: int = 3):
+    """CreateNewMapPoints against the best covisible neighbors
+    (LocalMapping.cc:391-408 nn-best semantics)."""
+    W = np.array(atlas_state.covisibility_weights(s)[kf])
+    W[kf] = 0
+    order = np.argsort(-W)
+    prev_rows = [int(r) for r in order[:n_neighbors] if W[r] >= 15]
+    if not prev_rows and fallback_row >= 0:
+        prev_rows = [fallback_row]
+    for prev in prev_rows:
+        Xw, f1, f2, accept = local_mapper.triangulate_pair(
+            cfg.kind, cfg.K, s, kf, prev, scale_factors
+        )
+        s = local_mapper.insert_triangulated(
+            s, kf, jnp.asarray(prev), Xw, f1, f2, accept
+        )
+    return s
+
+
+def fuse_recent(s: atlas_state.MapState, cfg, scale_factors, n_recent: int = 4):
+    """Densify observations into the most recent keyframes
+    (SearchInNeighbors role, LocalMapping.cc:714)."""
+    n_kf = int(s.n_kf)
+    for krow in range(max(0, n_kf - n_recent), n_kf):
+        s = fuse.fuse_into_keyframe(
+            cfg.kind, cfg.K, s, jnp.asarray(krow, jnp.int32), scale_factors
+        )
+    return s
+
+
+def ba_window(s: atlas_state.MapState, cfg):
+    """Select the local-BA window: last `local_window` valid KFs of the
+    active map free, up to 4 earlier KFs as the fixed frontier
+    (Optimizer::LocalBundleAdjustment's lFixedCameras, Optimizer.cc:1118).
+    Returns (rows [w+4] np.int32, n_fixed)."""
+    w = cfg.local_window
+    valid_rows = np.nonzero(
+        np.array(s.kf_valid) & (np.array(s.kf_map_id) == int(s.active_map))
+    )[0]
+    n_rows = min(len(valid_rows), w + 4)
+    rows = valid_rows[-n_rows:]
+    n_fixed = max(2, n_rows - w) if n_rows > 2 else 1
+    rows = np.concatenate([rows, np.full((w + 4) - len(rows), rows[-1])])
+    return rows, n_fixed
+
+
+def run_visual_ba(s: atlas_state.MapState, cfg, scale_factors, rows, n_fixed,
+                  base_sensor: str, iters: int = 8, chunk: int = 4,
+                  abort_check=None):
+    """Windowed local BA, abortable between iteration chunks — the
+    `mbAbortBA` preemption contract (`LocalMapping::InsertKeyFrame` sets
+    mbAbortBA, `Optimizer.cc:1203-1204` polls it between LM rounds). Each
+    completed chunk is a valid (cost-decreasing) state, so a preempted BA
+    commits its partial progress instead of discarding it."""
+    w = cfg.local_window
+    done = 0
+    while done < iters:
+        it = min(chunk, iters - done) if abort_check is not None else iters
+        s, _ = local_mapper.local_ba(
+            cfg.kind, cfg.K, s, jnp.asarray(rows, jnp.int32),
+            n_fixed=n_fixed, window=w + 4, iters=it,
+            scale_factors=scale_factors,
+            stereo=(base_sensor != "mono"), bf=cfg.bf,
+        )
+        done += it
+        if abort_check is not None and done < iters and abort_check():
+            break
+    return s
+
+
+def cull(s: atlas_state.MapState, cfg, rows, use_imu: bool):
+    """MapPoint + (visual) KeyFrame culling (LocalMapping.cc:346,902)."""
+    w = cfg.local_window
+    s = local_mapper.cull_landmarks(s)
+    if not use_imu and int(s.n_kf) > w + 4:
+        s = local_mapper.cull_keyframes(s, jnp.asarray(rows[: w + 4], jnp.int32))
+    return atlas_state.update_landmark_stats(s)

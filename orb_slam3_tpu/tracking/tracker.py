@@ -24,7 +24,7 @@ from ..atlas import ops as atlas_ops
 from ..atlas import state as atlas_state
 from ..frontend import camera as cam
 from ..frontend import matching, orb, two_view
-from ..mapping import fuse, local_mapper
+from ..mapping import fuse, local_mapper, pipeline
 from ..ops import lie
 from ..utils.timing import GLOBAL_TIMER
 from ..utils import verbose
@@ -72,6 +72,12 @@ class TrackerConfig:
     # right after extraction (Frame::UndistortKeyPoints, Frame.cc:747-780);
     # None = already-rectified/distortion-free input
     dist_coeffs: np.ndarray = None
+    # run the per-keyframe mapping stack (triangulate/fuse/local BA/cull/
+    # loop detect) on a background mapper thread over immutable snapshots —
+    # the reference's LocalMapping/LoopClosing threads (System.cc:197,214).
+    # Applies to visual sensors; inertial modes run synchronously (the VI
+    # init/refinement stages re-gauge the tracker state in place).
+    async_mapping: bool = True
 
 
 @dataclasses.dataclass
@@ -118,6 +124,10 @@ class Tracker:
         self.loop_closer = None       # optional LoopCloser (attach_loop_closer)
         self.gba = None               # background GlobalBARunner (lazy)
         self.background_gba = True    # spawn GBA in a side thread after loops
+        self.async_mapper = None      # runtime.AsyncMapper (lazy)
+        self._mapper_stale = False    # tracker mutated map outside the mapper
+        self._stat_vis = None         # buffered lm stats for the next package
+        self._stat_found = None
         self.base_sensor = cfg.sensor.split("-")[0]
         self.use_imu = cfg.sensor.endswith("-imu")
         self.imu = None
@@ -158,6 +168,115 @@ class Tracker:
         self.loop_closer = lc.LoopCloser(
             voc, self.cfg.kmax, scale_factors=self.scale_factors
         )
+        if self.async_mapper is not None:
+            self.async_mapper.loop_closer = self.loop_closer
+
+    # ------------------------------------------------------------------
+    # asynchronous mapping (runtime.AsyncMapper dataflow)
+    # ------------------------------------------------------------------
+    def _use_async(self) -> bool:
+        return self.cfg.async_mapping and not self.use_imu
+
+    def _ensure_mapper(self):
+        if self.async_mapper is None:
+            from ..runtime.mapper import AsyncMapper
+
+            self.async_mapper = AsyncMapper(
+                self.cfg, self.scale_factors, self.base_sensor,
+                loop_closer=self.loop_closer,
+                background_gba=self.background_gba,
+            )
+            self.async_mapper.start(self.map, self.last_kf_row)
+            self._mapper_stale = False
+        elif self._mapper_stale:
+            # the tracker mutated the map locally (new Atlas map, reloc map
+            # switch, re-initialization): re-seed the canonical state
+            self.async_mapper.flush()
+            self.async_mapper.poll_commit()  # ours is authoritative
+            self.async_mapper.set_state(self.map, self.last_kf_row)
+            self._mapper_stale = False
+
+    def _adopt_commits(self):
+        """Pick up the latest mapper commit at a frame boundary and
+        re-anchor the current pose through the newest keyframe (the
+        reference's map-update detection, Tracking.cc:1888-1896)."""
+        m = self.async_mapper
+        if m is None:
+            return
+        if m.error is not None:
+            err, m.error = m.error, None
+            raise RuntimeError("background mapper failed") from err
+        c = m.poll_commit()
+        if c is not None and not self._mapper_stale:
+            self._adopt(c)
+
+    def _adopt(self, c):
+        s_new = c.state
+        if c.kf_row >= 0:
+            self.last_kf_row = int(c.kf_row)
+        if c.big_change and c.kf_row >= 0 and self.last is not None:
+            # loop closure / merge / GBA catch-up moved the world:
+            # T_cur_new = (T_cur_old ∘ T_pkg^{-1}) ∘ T_kf_new transfers the
+            # relative motion tracked since the package onto the corrected
+            # keyframe pose. Small local-BA refinements deliberately do NOT
+            # rewrite the pose — the reference's tracker re-converges onto
+            # the refined map through the next frame's pose optimization
+            # instead of composing over a long, gauge-drifted baseline.
+            Ri, ti = lie.se3_inv(jnp.asarray(c.pkg_R), jnp.asarray(c.pkg_t))
+            R_rel, t_rel = lie.se3_mul(self.last["R"], self.last["t"], Ri, ti)
+            self.last["R"], self.last["t"] = lie.se3_mul(
+                R_rel, t_rel, s_new.kf_R[c.kf_row], s_new.kf_t[c.kf_row]
+            )
+        self.map = s_new
+        self._map_version += 1
+        if c.big_change:
+            self.velocity = None
+            self._tracked_lms = None
+            self._vi_prior = None
+
+    def _mapper_barrier(self):
+        """Drain the mapper and adopt its final state before the tracker
+        mutates the map itself (RequestStop + isStopped barrier,
+        LoopClosing.cc:975-999)."""
+        m = self.async_mapper
+        if m is None:
+            return
+        c = m.flush()
+        if c is not None and not self._mapper_stale:
+            self._adopt(c)
+
+    def sync_mapping(self):
+        """Public barrier: make self.map reflect all queued mapping work
+        (used by System for save/shutdown/global-BA entry points)."""
+        self._mapper_barrier()
+
+    def _request_keyframe(self, feats, timestamp, n_inliers) -> bool:
+        """Async path of keyframe insertion: package the frame and enqueue
+        it to the mapper (LocalMapping::InsertKeyFrame + mbAbortBA)."""
+        self._ensure_mapper()
+        pkg = pipeline.KFPackage(
+            R=self.last["R"], t=self.last["t"], timestamp=timestamp,
+            feat_xy=feats.xy, feat_octave=feats.octave,
+            feat_angle=feats.angle, feat_desc=feats.descriptors,
+            feat_valid=feats.valid, feat_lm=self._feat_lm,
+            feat_ur=self._frame_ur, feat_depth=self._frame_depth,
+            n_inliers=n_inliers,
+            stat_vis=self._stat_vis, stat_found=self._stat_found,
+        )
+        first = self.async_mapper.n_processed == 0
+        if not self.async_mapper.enqueue(pkg):
+            return False  # saturated: retry next frame (Tracking.cc:3196)
+        self._stat_vis = None
+        self._stat_found = None
+        self.frames_since_kf = 0
+        self.last_kf_inliers = n_inliers
+        if first:
+            # block on the very first package: it pays the one-time XLA
+            # compile cost of every mapping stage. Running it synchronously
+            # keeps the queue from saturating with drifting poses during
+            # warmup (the reference has no JIT and never faces this).
+            self._mapper_barrier()
+        return True
 
     # ------------------------------------------------------------------
     # relocalization (Tracking::Relocalization, Tracking.cc:3609-3761)
@@ -215,9 +334,11 @@ class Tracker:
             self._tracked_lms = None
             # adopt the candidate's map as active if different
             if int(s.kf_map_id[cand]) != int(s.active_map):
+                self._mapper_barrier()
                 self.map = dataclasses.replace(
-                    s, active_map=s.kf_map_id[cand]
+                    self.map, active_map=self.map.kf_map_id[cand]
                 )
+                self._mapper_stale = True
             return True
         return False
 
@@ -230,6 +351,7 @@ class Tracker:
         System.cc:244/328/399; GrabImuData, Tracking.cc:1618)."""
         from ..frontend import stereo as stereo_mod
 
+        self._adopt_commits()
         if self.imu is not None:
             self.imu.ingest(np.asarray(imu) if imu is not None else None)
         # timestamp sanity (Tracking.cc:1818-1855): a backwards step, or a
@@ -305,7 +427,9 @@ class Tracker:
             "Timestamp discontinuity: creating new map in Atlas",
             verbose.VERBOSITY_NORMAL,
         )
+        self._mapper_barrier()
         self.map = atlas_ops.create_map(self.map)
+        self._mapper_stale = True
         self.state = NOT_INITIALIZED
         self.init_ref = None
         self.last = None
@@ -434,6 +558,7 @@ class Tracker:
         self.last_kf_inliers = int(accept.sum())
         self.frames_since_kf = 0
         self.init_ref = None
+        self._mapper_stale = self.async_mapper is not None
         return True
 
     # ------------------------------------------------------------------
@@ -476,6 +601,7 @@ class Tracker:
         self.last_kf_row = int(kf0)
         self.last_kf_inliers = int(has_depth.sum())
         self.frames_since_kf = 0
+        self._mapper_stale = self.async_mapper is not None
         return True
 
     # ------------------------------------------------------------------
@@ -561,7 +687,9 @@ class Tracker:
             # mature map + persistent loss -> new map in the Atlas
             # (Tracking::CreateMapInAtlas, Tracking.cc:2014-2032)
             if self.state == LOST and int(self.map.n_kf) >= 10:
+                self._mapper_barrier()
                 self.map = atlas_ops.create_map(self.map)
+                self._mapper_stale = True
                 self.state = NOT_INITIALIZED
                 self.init_ref = None
                 self.last_kf_row = -1
@@ -586,7 +714,10 @@ class Tracker:
             )
         )
         if need_kf and not self.mapping_paused:
-            self._insert_keyframe(feats, timestamp, n_inliers)
+            if self._use_async():
+                self._request_keyframe(feats, timestamp, n_inliers)
+            else:
+                self._insert_keyframe(feats, timestamp, n_inliers)
         return True
 
     def _match_and_optimize(self, s, feats, R0, t0, lm_mask, radius,
@@ -627,12 +758,26 @@ class Tracker:
                 inv_sig2, ok,
             )
         if update_stats:
-            # lm bookkeeping (mnVisible/mnFound, SearchLocalPoints:3343)
-            self.map = dataclasses.replace(
-                s,
-                lm_visible=s.lm_visible + visible.astype(jnp.int32),
-                lm_found=s.lm_found + inlier.astype(jnp.int32),
-            )
+            # lm bookkeeping (mnVisible/mnFound, SearchLocalPoints:3343).
+            # Async mode buffers the deltas for the next keyframe package
+            # (the mapper owns the canonical state); sync mode applies them
+            # directly.
+            vis32 = visible.astype(jnp.int32)
+            fnd32 = inlier.astype(jnp.int32)
+            if self._use_async():
+                self._stat_vis = (
+                    vis32 if self._stat_vis is None else self._stat_vis + vis32
+                )
+                self._stat_found = (
+                    fnd32 if self._stat_found is None
+                    else self._stat_found + fnd32
+                )
+            else:
+                self.map = dataclasses.replace(
+                    s,
+                    lm_visible=s.lm_visible + vis32,
+                    lm_found=s.lm_found + fnd32,
+                )
             self._tracked_lms = inlier  # continuity set for next frame
             # per-feature landmark assignment for KF creation
             self._last_feat_lm = self._assign_features(
@@ -724,93 +869,42 @@ class Tracker:
 
     # ------------------------------------------------------------------
     def _insert_keyframe(self, feats, timestamp, n_inliers):
+        """Synchronous keyframe insertion + full mapping stack (the inertial
+        path and async_mapping=False); stage bodies live in
+        mapping.pipeline, shared with the background mapper."""
         cfg = self.cfg
         s = self.map
         if int(s.n_kf) >= cfg.kmax - 1:
             return
-        s, kf = atlas_ops.add_keyframe(
-            s, self.last["R"], self.last["t"], timestamp,
-            feats.xy, feats.octave, feats.angle, feats.descriptors, feats.valid,
-            feat_lm=self._feat_lm,
+        pkg = pipeline.KFPackage(
+            R=self.last["R"], t=self.last["t"], timestamp=timestamp,
+            feat_xy=feats.xy, feat_octave=feats.octave,
+            feat_angle=feats.angle, feat_desc=feats.descriptors,
+            feat_valid=feats.valid, feat_lm=self._feat_lm,
             feat_ur=self._frame_ur, feat_depth=self._frame_depth,
-            parent=jnp.asarray(self.last_kf_row, jnp.int32),
-            prev=jnp.asarray(self.last_kf_row, jnp.int32),
+            n_inliers=n_inliers,
         )
-        kf = int(kf)
+        s, kf = pipeline.insert_keyframe_pkg(
+            s, pkg, cfg, self.base_sensor, self.last_kf_row
+        )
         if self.imu is not None:
             self.imu.commit_keyframe(kf, timestamp)
 
-        # stereo/RGBD: create landmarks directly from depth for unbound close
-        # points (CreateNewKeyFrame, Tracking.cc:3247-3331). "Close" uses the
-        # reference's METRIC threshold mThDepth = bf * thDepth / fx
-        # (Tracking.cc:628-633); beyond it, only the ~100 nearest points are
-        # created (the nPoints < 100 rule, Tracking.cc:3303-3331) — far
-        # single-view depth is the least reliable and must not flood the map.
-        if self.base_sensor != "mono" and self._frame_depth is not None:
-            depth = self._frame_depth
-            unbound = feats.valid & (self._feat_lm < 0)
-            has_depth = (depth > cfg.min_depth) & unbound
-            th_depth_m = cfg.bf * cfg.th_depth / float(np.asarray(cfg.K)[0])
-            d_rank = jnp.where(has_depth, depth, jnp.inf)
-            rank = jnp.argsort(jnp.argsort(d_rank))  # depth order per feature
-            close = has_depth & ((depth < th_depth_m) | (rank < 100))
-            rays = cam.unproject(cfg.kind, cfg.K, feats.xy)
-            Xc = rays * depth[:, None]
-            Rw, tw = lie.se3_inv(self.last["R"], self.last["t"])
-            Xw = lie.se3_apply(Rw, tw, Xc)
-            s, _ = atlas_ops.add_landmarks(
-                s, Xw, feats.descriptors,
-                jnp.full((Xw.shape[0],), kf, jnp.int32), close,
-                jnp.full((Xw.shape[0],), kf, jnp.int32),
-                jnp.arange(Xw.shape[0], dtype=jnp.int32),
-            )
-
-        # triangulate new points against the best covisible neighbor
-        # keyframes (CreateNewMapPoints, LocalMapping.cc:391-408 uses the
-        # nn=10 best covisibles; 3 here — wider baselines than pure temporal
-        # neighbors constrain landmark scale better). Depth sensors already
-        # created close points above; triangulating the depth-rejected
-        # leftovers (mostly occlusion boundaries) poisons the map, so only
-        # mono triangulates here.
-        prev_rows = []
+        # Depth sensors already created close points inside
+        # insert_keyframe_pkg; triangulating the depth-rejected leftovers
+        # (mostly occlusion boundaries) poisons the map, so only mono
+        # triangulates here (CreateNewMapPoints, LocalMapping.cc:391-408).
         if self.base_sensor == "mono":
-            W = np.array(atlas_state.covisibility_weights(s)[kf])
-            W[kf] = 0
-            order = np.argsort(-W)
-            prev_rows = [int(r) for r in order[:3] if W[r] >= 15]
-            if not prev_rows and self.last_kf_row >= 0:
-                prev_rows = [self.last_kf_row]
-        for prev in prev_rows:
-            Xw, f1, f2, accept = local_mapper.triangulate_pair(
-                cfg.kind, cfg.K, s, kf, prev, self.scale_factors
-            )
-            s = local_mapper.insert_triangulated(
-                s, kf, jnp.asarray(prev), Xw, f1, f2, accept
+            s = pipeline.triangulate_mono(
+                s, kf, cfg, self.scale_factors, self.last_kf_row
             )
 
-        # densify observations: fuse landmarks into the recent keyframes
-        # (SearchInNeighbors role) so landmarks carry more than 2 edges
-        n_kf = int(s.n_kf)
-        for krow in range(max(0, n_kf - 4), n_kf):
-            s = fuse.fuse_into_keyframe(
-                cfg.kind, cfg.K, s, jnp.asarray(krow, jnp.int32),
-                self.scale_factors,
-            )
+        # densify observations (SearchInNeighbors role)
+        s = pipeline.fuse_recent(s, cfg, self.scale_factors)
 
-        # local BA: free window = last `local_window` valid KFs of the
-        # active map; fixed frontier = up to 4 earlier KFs kept as anchored
-        # cameras WITH their edges (Optimizer::LocalBundleAdjustment's
-        # lFixedCameras, Optimizer.cc:1118-1186) — dropping them caused
-        # scale drift. Valid-row selection skips culled keyframes.
+        # local BA window + fixed frontier (Optimizer.cc:1118-1186)
         w = cfg.local_window
-        valid_rows = np.nonzero(
-            np.array(s.kf_valid)
-            & (np.array(s.kf_map_id) == int(s.active_map))
-        )[0]
-        n_rows = min(len(valid_rows), w + 4)
-        rows = valid_rows[-n_rows:]
-        n_fixed = max(2, n_rows - w) if n_rows > 2 else 1
-        rows = np.concatenate([rows, np.full((w + 4) - len(rows), rows[-1])])
+        rows, n_fixed = pipeline.ba_window(s, cfg)
         ran_vi_ba = False
         if self.imu is not None and self.imu.initialized:
             from . import vi_tracker
@@ -819,11 +913,8 @@ class Tracker:
             ran_vi_ba = vi_tracker.run_vi_local_ba(self, rows, n_fixed)
             s = self.map
         if not ran_vi_ba:
-            s, _ = local_mapper.local_ba(
-                cfg.kind, cfg.K, s, jnp.asarray(rows, jnp.int32),
-                n_fixed=n_fixed, window=w + 4, iters=8,
-                scale_factors=self.scale_factors,
-                stereo=(self.base_sensor != "mono"), bf=cfg.bf,
+            s = pipeline.run_visual_ba(
+                s, cfg, self.scale_factors, rows, n_fixed, self.base_sensor
             )
         s = local_mapper.cull_landmarks(s)
         # keyframe culling over the recent window (LocalMapping::KeyFrameCulling)
@@ -943,7 +1034,9 @@ class Tracker:
     def poses(self):
         """Trajectory as (timestamps, Tcw rotations, translations, ok) —
         composed against the CURRENT (post-BA) keyframe poses, matching
-        System::SaveTrajectoryEuRoC semantics."""
+        System::SaveTrajectoryEuRoC semantics. Drains the background mapper
+        first so every queued keyframe's corrections are included."""
+        self.sync_mapping()
         s = self.map
         kf_R = np.array(s.kf_R)
         kf_t = np.array(s.kf_t)

@@ -100,6 +100,7 @@ def test_atlas_resume_relocalizes_into_loaded_map(tmp_path):
     for k, i in enumerate(range(2, 40, 2)):
         img, depth = scene.render_with_depth(R_gt[i], t_gt[i])
         t2.process(img, 100.0 + k * 0.05, depth_map=depth)
+        t2.sync_mapping()  # drain the async mapper: deterministic ordering
         if t2.loop_closer.n_merges > 0:
             merged = True
             break
@@ -134,6 +135,7 @@ def test_multimap_merge():
     for k, i in enumerate(range(40, 4, -2)):
         img, depth = scene.render_with_depth(R_gt[i], t_gt[i])
         t.process(img, (30 + k) * 0.05, depth_map=depth)
+        t.sync_mapping()  # drain the async mapper: deterministic ordering
         if t.loop_closer.n_merges > 0:
             break
     assert t.loop_closer.n_merges >= 1, "maps never merged"

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import lie
+from . import state as state_mod
 from .state import NO_LM, MapState
 
 
@@ -215,6 +216,90 @@ def create_map(s: MapState) -> MapState:
     rows; new insertions tag the fresh map id."""
     return dataclasses.replace(
         s, active_map=s.n_maps, n_maps=s.n_maps + 1
+    )
+
+
+def compact(s: MapState) -> tuple[MapState, jnp.ndarray, jnp.ndarray]:
+    """Reclaim invalidated rows (SURVEY.md §7.1: compaction replaces the
+    reference's culling-by-deletion, `KeyFrame::SetBadFlag`,
+    `/root/reference/src/KeyFrame.cc:573`). A stable partition moves every
+    valid keyframe/landmark row to a dense prefix, preserving temporal
+    order, and rewrites all cross-row references (spanning tree, temporal
+    chain, feature->landmark bindings, landmark->first-KF). The freed tail
+    is then reusable by the n_kf/n_lm bump allocators.
+
+    Returns (state, kf_new_of_old [K], lm_new_of_old [L]) so host-side
+    bookkeeping (trajectory references, IMU buffers, place-recognition DB)
+    can be remapped. The permutation is total: invalid rows keep their
+    (stale) data at their new position, so references to culled rows stay
+    resolvable until the row is actually reused."""
+    K, L = s.kmax, s.lmax
+    i32 = jnp.int32
+    kf_order = jnp.argsort(~s.kf_valid, stable=True)
+    lm_order = jnp.argsort(~s.lm_valid, stable=True)
+    kf_new = jnp.zeros((K,), i32).at[kf_order].set(jnp.arange(K, dtype=i32))
+    lm_new = jnp.zeros((L,), i32).at[lm_order].set(jnp.arange(L, dtype=i32))
+
+    def remap_kf(r):
+        return jnp.where(r >= 0, kf_new[jnp.clip(r, 0, K - 1)], r)
+
+    def remap_lm(r):
+        return jnp.where(r >= 0, lm_new[jnp.clip(r, 0, L - 1)], r)
+
+    upd = {}
+    for f in dataclasses.fields(s):
+        name = f.name
+        v = getattr(s, name)
+        if name.startswith("kf_"):
+            v = v[kf_order]
+        elif name.startswith("lm_"):
+            v = v[lm_order]
+        upd[name] = v
+    upd["kf_parent"] = remap_kf(upd["kf_parent"])
+    upd["kf_prev"] = remap_kf(upd["kf_prev"])
+    upd["kf_feat_lm"] = remap_lm(upd["kf_feat_lm"])
+    upd["lm_first_kf"] = remap_kf(upd["lm_first_kf"])
+    upd["n_kf"] = s.kf_valid.sum().astype(i32)
+    upd["n_lm"] = s.lm_valid.sum().astype(i32)
+    return dataclasses.replace(s, **upd), kf_new, lm_new
+
+
+def grow(s: MapState, kmax: int | None = None, lmax: int | None = None) -> MapState:
+    """Enlarge the arena (the honest equivalent of the reference's
+    unbounded heap sessions): pad every row array to the new capacity.
+    Triggers one-time jit recompiles of the fixed-shape stages — rare by
+    design (capacity doubles)."""
+    new_k = int(kmax) if kmax is not None else s.kmax
+    new_l = int(lmax) if lmax is not None else s.lmax
+    assert new_k >= s.kmax and new_l >= s.lmax
+    fresh = state_mod.empty(kmax=new_k, fmax=s.fmax, lmax=new_l)
+    upd = {}
+    for f in dataclasses.fields(s):
+        name = f.name
+        old = getattr(s, name)
+        tgt = getattr(fresh, name)
+        if name.startswith("kf_"):
+            upd[name] = tgt.at[: s.kmax].set(old)
+        elif name.startswith("lm_"):
+            upd[name] = tgt.at[: s.lmax].set(old)
+        else:
+            upd[name] = old
+    return dataclasses.replace(fresh, **upd)
+
+
+def reset_active_map(s: MapState) -> MapState:
+    """Tracking::ResetActiveMap (`Tracking.cc:3840`): discard every row of
+    the active map (bad-IMU bail-out, young-map tracking loss). Rows stay
+    in the arena as invalid holes until `compact` reclaims them; a fresh
+    map id replaces the active one so stored maps are untouched."""
+    kf_in = s.kf_valid & (s.kf_map_id == s.active_map)
+    lm_in = s.lm_valid & (s.lm_map_id == s.active_map)
+    return dataclasses.replace(
+        s,
+        kf_valid=s.kf_valid & ~kf_in,
+        lm_valid=s.lm_valid & ~lm_in,
+        active_map=s.n_maps,
+        n_maps=s.n_maps + 1,
     )
 
 

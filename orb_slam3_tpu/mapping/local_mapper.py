@@ -38,9 +38,10 @@ def _fundamental_from_poses(K, R1, t1, R2, t2):
     return Kinv.T @ E @ Kinv
 
 
-@partial(jax.jit, static_argnames=("kind",))
+@partial(jax.jit, static_argnames=("kind", "max_new", "use_depth"))
 def triangulate_pair(kind: int, K, s: MapState, kf1, kf2,
-                     scale_factors, max_new: int = 256):
+                     scale_factors, max_new: int = 256,
+                     use_depth: bool = False, min_depth: float = 0.0):
     """Match unbound features of kf1 against unbound features of kf2 (ratio +
     epipolar gate), triangulate, and run the acceptance checks of
     CreateNewMapPoints (`LocalMapping.cc:388-712`): cheirality, reprojection
@@ -88,6 +89,21 @@ def triangulate_pair(kind: int, K, s: MapState, kf1, kf2,
     P2 = Km @ jnp.concatenate([R2, t2[:, None]], axis=1)
     Xw = dlt_triangulate(P1, P2, xy1, xy2[idx])
 
+    # stereo/RGB-D: a feature with a measured depth beats low-parallax DLT
+    # (CreateNewMapPoints prefers UnprojectStereo when bStereo1 and ray
+    # parallax is below the stereo parallax, LocalMapping.cc:557-604). The
+    # measured point also waives the parallax gate: the depth sensor IS
+    # the baseline.
+    has_meas = jnp.zeros((F,), bool)
+    if use_depth:
+        d1 = s.kf_feat_depth[kf1]
+        has_meas = d1 > min_depth
+        rays = cam.unproject(kind, K, xy1)
+        Xc_meas = rays * d1[:, None]
+        R1w, t1w = lie.se3_inv(R1, t1)
+        Xw_meas = lie.se3_apply(R1w, t1w, Xc_meas)
+        Xw = jnp.where(has_meas[:, None], Xw_meas, Xw)
+
     # acceptance checks
     Xc1 = lie.se3_apply(R1, t1, Xw)
     Xc2 = lie.se3_apply(R2, t2, Xw)
@@ -109,7 +125,7 @@ def triangulate_pair(kind: int, K, s: MapState, kf1, kf2,
     parallax_ok = cosp < 0.9998
     finite = jnp.all(jnp.isfinite(Xw), axis=-1)
 
-    accept = ok & depth_ok & reproj_ok & parallax_ok & finite
+    accept = ok & depth_ok & reproj_ok & (parallax_ok | has_meas) & finite
     # cap the number of new landmarks per call (keeps allocation bounded)
     order = jnp.cumsum(accept.astype(jnp.int32))
     accept = accept & (order <= max_new)

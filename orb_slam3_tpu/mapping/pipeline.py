@@ -131,9 +131,11 @@ def triangulate_mono(s: atlas_state.MapState, kf: int, cfg, scale_factors,
     prev_rows = [int(r) for r in order[:n_neighbors] if W[r] >= 15]
     if not prev_rows and fallback_row >= 0:
         prev_rows = [fallback_row]
+    use_depth = cfg.sensor.split("-")[0] != "mono"
     for prev in prev_rows:
         Xw, f1, f2, accept = local_mapper.triangulate_pair(
-            cfg.kind, cfg.K, s, kf, prev, scale_factors
+            cfg.kind, cfg.K, s, kf, prev, scale_factors,
+            use_depth=use_depth, min_depth=cfg.min_depth,
         )
         s = local_mapper.insert_triangulated(
             s, kf, jnp.asarray(prev), Xw, f1, f2, accept

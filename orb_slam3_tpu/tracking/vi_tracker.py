@@ -63,6 +63,8 @@ class ImuState:
         self.init_ts = None              # timestamp of successful IMU init
         self.viba_stage = 0              # 0 = init only, 1 = VIBA1, 2 = VIBA2
         self.last_scale_refine_ts = None
+        self.tinit = 0.0                 # motion-gated init time (mTinit)
+        self.bad = False                 # mbBadImu (LocalMapping.cc:144)
 
     # ------------------------------------------------------------------
     def ingest(self, imu: np.ndarray):

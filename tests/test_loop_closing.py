@@ -1,0 +1,129 @@
+"""End-to-end loop closing through the tracker on a ground-truth closed
+loop (VERDICT round-1 'what's weak' #3: nothing drove LoopCloser.n_loops
+through the System path).
+
+Scene: textured room interior (tests/synthetic_scene.room_scene) with a
+camera circling inside looking outward — after one revolution it re-observes
+the starting wall (the reference validates this path on real closed-loop
+sequences; LoopClosing::NewDetectCommonRegions -> CorrectLoop,
+/root/reference/src/LoopClosing.cc:324,969).
+
+Also covers the adversarial side: a repetitive-texture room (all four walls
+share one texture) with a NON-closing trajectory must produce zero loops —
+the verification cascade (Sim3 RANSAC, guided projection >=50, OptimizeSim3
+>=20, tight reprojection >=80, 3-covisible-KF, temporal consistency >=3;
+LoopClosing.cc:578-885) is what rejects perceptual aliasing.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam3_tpu.api import evaluate
+from orb_slam3_tpu.atlas import invariants
+from orb_slam3_tpu.frontend import camera as cam
+from orb_slam3_tpu.frontend import orb as orb_mod
+from orb_slam3_tpu.place import vocab
+from orb_slam3_tpu.tracking import tracker as trk
+from synthetic_scene import room_scene, loop_trajectory
+
+K = cam.make_pinhole(350.0, 350.0, 256.0, 192.0)
+IMG_WH = (512, 384)
+BF = 350.0 * 0.1
+
+
+def _tracker(scene, kmax=96, lmax=8192):
+    cfg = trk.TrackerConfig(
+        K=K, img_wh=IMG_WH, sensor="rgbd", bf=BF, th_depth=20.0,
+        orb=orb_mod.OrbConfig(n_features=600, n_levels=4),
+        kmax=kmax, lmax=lmax, local_window=6, kf_max_frames=2,
+    )
+    t = trk.Tracker(cfg)
+    # vocabulary trained on held-out viewpoints of the same scene
+    descs = []
+    Rv, tv = loop_trajectory(4, radius=1.0, start_angle=0.4)
+    for i in range(4):
+        f = orb_mod.extract(jnp.asarray(scene.render(Rv[i], tv[i])), cfg.orb)
+        descs.append(np.array(f.descriptors)[np.array(f.valid)])
+    voc = vocab.train(np.concatenate(descs), branching=8, depth=3)
+    t.attach_loop_closer(voc)
+    return t
+
+
+def _kf_ate(t, R_gt, t_gt, dt=0.05):
+    """SE3-aligned RMS ATE of the (valid) keyframe poses vs ground truth,
+    matched by timestamp index."""
+    s = t.map
+    valid = np.array(s.kf_valid)
+    rows = np.flatnonzero(valid)
+    idx = np.clip(np.round(np.array(s.kf_timestamp)[rows] / dt).astype(int), 0,
+                  len(R_gt) - 1)
+    est_c = evaluate.camera_centers(np.array(s.kf_R)[rows], np.array(s.kf_t)[rows])
+    gt_c = evaluate.camera_centers(R_gt[idx], t_gt[idx])
+    rmse, _, _ = evaluate.ate_rmse(
+        idx.astype(float), est_c, idx.astype(float), gt_c, with_scale=False
+    )
+    return rmse
+
+
+def test_loop_closes_and_reduces_drift():
+    scene = room_scene(np.array(K), img_wh=IMG_WH, seed=3,
+                       exposure_jitter=0.04)
+    n = 110
+    R_gt, t_gt = loop_trajectory(n_frames=n, radius=1.6, loops=1.12)
+    t = _tracker(scene)
+
+    # phase 1: the open part of the loop (stop short of the revisit)
+    n1 = int(n / 1.12 * 0.9)
+    for i in range(n1):
+        img, depth = scene.render_with_depth(R_gt[i], t_gt[i])
+        t.process(img, i * 0.05, depth_map=depth)
+    t.sync_mapping()
+    assert t.state == trk.OK
+    assert t.loop_closer.n_loops == 0, "loop fired before any revisit"
+    ate_pre = _kf_ate(t, R_gt, t_gt)
+
+    # phase 2: close the loop
+    for i in range(n1, n):
+        img, depth = scene.render_with_depth(R_gt[i], t_gt[i])
+        t.process(img, i * 0.05, depth_map=depth)
+    t.sync_mapping()
+    assert t.loop_closer.n_loops >= 1, "no loop closure on a closed loop"
+
+    ate_post = _kf_ate(t, R_gt, t_gt)
+    # the essential-graph correction must not make the map worse, and the
+    # final map must be accurate in absolute terms
+    assert ate_post < max(1.05 * ate_pre, 0.05), (
+        f"ATE worsened across loop closure: {ate_pre:.4f} -> {ate_post:.4f}"
+    )
+    assert ate_post < 0.12, f"post-loop ATE {ate_post:.4f}"
+
+    # tracking survived the correction (concurrent-mapping correctness)
+    ts, R, tt, ok = t.poses()
+    assert ok[-10:].all(), "tracking lost after loop correction"
+    v = invariants.check_all(t.map)
+    assert not v, v
+
+
+def test_no_false_loop_on_repetitive_texture():
+    scene = room_scene(np.array(K), img_wh=IMG_WH, seed=4)
+    # perceptual aliasing: all four walls share ONE texture
+    wall_tex = scene.quads[0]["tex"]
+    for q in scene.quads[1:4]:
+        q["tex"] = wall_tex
+    n = 60
+    # non-closing arc (just over half a revolution): any detected "loop"
+    # is a false positive from texture aliasing
+    R_gt, t_gt = loop_trajectory(n_frames=n, radius=1.6, loops=0.55)
+    t = _tracker(scene, kmax=64)
+    for i in range(n):
+        img, depth = scene.render_with_depth(R_gt[i], t_gt[i])
+        t.process(img, i * 0.05, depth_map=depth)
+    t.sync_mapping()
+    assert t.loop_closer.n_loops == 0, (
+        f"false loop on repetitive texture ({t.loop_closer.n_loops})"
+    )
+    assert t.loop_closer.n_merges == 0

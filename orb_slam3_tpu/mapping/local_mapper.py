@@ -266,9 +266,13 @@ def local_ba(kind: int, K, s: MapState, window_rows, n_fixed: int = 2,
     )
 
     rows_w = jnp.where(first_occ, rows, s.kmax)  # drop duplicate-slot writes
+    # SO(3) projection of the written poses: repeated per-KF BA runs
+    # otherwise accumulate f32 composition error in the stored rotations
+    # (det drift absorbs map scale — see tracker._match_and_optimize)
+    R_out = lie.normalize_rotation(solved.cams.state["R"])
     s_out = dataclasses.replace(
         s,
-        kf_R=s.kf_R.at[rows_w].set(solved.cams.state["R"], mode="drop"),
+        kf_R=s.kf_R.at[rows_w].set(R_out, mode="drop"),
         kf_t=s.kf_t.at[rows_w].set(solved.cams.state["t"], mode="drop"),
         lm_pos=solved.points,
         kf_feat_lm=s.kf_feat_lm.at[rows_w].set(new_feat_lm, mode="drop"),

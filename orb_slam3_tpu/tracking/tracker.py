@@ -242,9 +242,10 @@ class Tracker:
             # instead of composing over a long, gauge-drifted baseline.
             Ri, ti = lie.se3_inv(jnp.asarray(c.pkg_R), jnp.asarray(c.pkg_t))
             R_rel, t_rel = lie.se3_mul(self.last["R"], self.last["t"], Ri, ti)
-            self.last["R"], self.last["t"] = lie.se3_mul(
+            Rn, tn = lie.se3_mul(
                 R_rel, t_rel, s_new.kf_R[c.kf_row], s_new.kf_t[c.kf_row]
             )
+            self.last["R"], self.last["t"] = lie.normalize_rotation(Rn), tn
         self.map = s_new
         self._map_version += 1
         if c.big_change:
@@ -389,7 +390,12 @@ class Tracker:
         if self.loop_closer is not None:
             voc = self.loop_closer.voc
             if new_kmax:  # the BoW matrix is kmax-capacity: recreate
+                old_lc = self.loop_closer
                 self.attach_loop_closer(voc)
+                # carry counters across the rebuild (ADVICE r2: recreating
+                # the LoopCloser mid-run must not reset loop/merge stats)
+                self.loop_closer.n_loops = old_lc.n_loops
+                self.loop_closer.n_merges = old_lc.n_merges
             self.loop_closer.pending = None
             self.loop_closer.rebuild_db(s2)
         self._mapper_stale = self.async_mapper is not None
@@ -601,6 +607,7 @@ class Tracker:
         self._tracked_lms = None
         if self.imu is not None:
             self.imu.initialized = False
+            self.imu.bad = False  # the reset services mbBadImu (ADVICE r2)
             self.imu.first_kf_ts = None
             self.imu.init_ts = None
             self.imu.viba_stage = 0
@@ -889,7 +896,8 @@ class Tracker:
 
         # motion model: velocity = T_cur * T_last^{-1} (Tracking.cc:2207)
         Rl_inv, tl_inv = lie.se3_inv(R_last, t_last)
-        self.velocity = lie.se3_mul(R2, t2, Rl_inv, tl_inv)
+        Rv, tv = lie.se3_mul(R2, t2, Rl_inv, tl_inv)
+        self.velocity = (lie.normalize_rotation(Rv), tv)
         self.last = {"R": R2, "t": t2, "feats": feats, "ts": timestamp}
         self.frames_since_kf += 1
         self._feat_lm = self._last_feat_lm  # per-feature landmark rows
@@ -1069,6 +1077,14 @@ class Tracker:
                 cfg.kind, cfg.K, cfg.bf, R0, t0, uv, ur_edge, s.lm_pos,
                 inv_sig2, ok,
             )
+        # project back to SO(3): the tracked pose feeds the motion model and
+        # the next frame's prediction, and f32 rotation-composition error
+        # COMPOUNDS geometrically through that feedback loop (measured:
+        # det(R) decayed 1 -> 0.83 over 20 frames, the contraction absorbing
+        # map scale — the round-2 mono scale collapse). One SVD projection
+        # per optimization severs the compounding (g2o stays in double and
+        # carries quaternions, which renormalize for free).
+        R = lie.normalize_rotation(R)
         if update_stats:
             # lm bookkeeping (mnVisible/mnFound, SearchLocalPoints:3343).
             # Async mode buffers the deltas for the next keyframe package
@@ -1176,8 +1192,21 @@ class Tracker:
         is geometrically closer to the truth than the one that happens to
         win on appearance. The reference avoids the choice by fusing
         duplicates eagerly (SearchInNeighbors/Fuse)."""
+        import os
+        if os.environ.get("ASSIGN_POLICY", "newest") == "best":
+            lm_rows = jnp.arange(lmax, dtype=jnp.int32)
+            big = jnp.int32(2 ** 30)
+            key = dist.astype(jnp.int32) * lmax + lm_rows
+            best = jnp.full((n_feat,), big, jnp.int32).at[
+                jnp.where(ok, idx, n_feat)
+            ].min(jnp.where(ok, key, big), mode="drop")
+            return jnp.where(best < big, best % lmax, atlas_state.NO_LM)
         feat_lm = jnp.full((n_feat,), atlas_state.NO_LM, jnp.int32)
-        return feat_lm.at[jnp.where(ok, idx, n_feat)].set(
+        # scatter-MAX, not set: XLA scatter order is undefined for set with
+        # duplicate indices, which would nondeterministically pick the loser
+        # policy; max on the landmark row gives identical newest-wins
+        # semantics with well-defined duplicate handling (ADVICE r2)
+        return feat_lm.at[jnp.where(ok, idx, n_feat)].max(
             jnp.where(ok, jnp.arange(lmax, dtype=jnp.int32),
                       atlas_state.NO_LM),
             mode="drop",

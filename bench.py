@@ -47,25 +47,32 @@ def bench_e2e(n_frames=300):
     from orb_slam3_tpu.api.system import System
     from orb_slam3_tpu.frontend import orb
     from orb_slam3_tpu.tracking import tracker as trk
+    from orb_slam3_tpu.utils.timing import GLOBAL_TIMER
 
     K, frames = _render_sequence(n_frames)
     cfg = trk.TrackerConfig(
         K=K, img_wh=(512, 384),
         orb=orb.OrbConfig(n_features=600, n_levels=4),
-        kmax=64, lmax=8192, local_window=6,
+        kmax=64, lmax=8192, local_window=6, kf_max_frames=15,
     )
     # warmup session: pays every one-time XLA compile (tracking stages +
-    # mapper stages); the reference has no JIT so compile time is excluded
+    # mapper stages); the reference has no JIT so compile time is excluded.
+    # Must run long enough to hit ALL mapper code paths (several keyframe
+    # insertions incl. the busy/skip branches) — a too-short warmup leaks
+    # multi-second XLA compiles into the measured run.
     warm = System(config=cfg)
-    for i in range(12):
+    n_warm = min(80, n_frames)
+    for i in range(n_warm):
         warm.track_monocular(frames[i], i * 0.033)
+    warm.tracker.sync_mapping()
     warm.shutdown()
 
     sys_ = System(config=trk.TrackerConfig(
         K=K, img_wh=(512, 384),
         orb=orb.OrbConfig(n_features=600, n_levels=4),
-        kmax=64, lmax=8192, local_window=6,
+        kmax=64, lmax=8192, local_window=6, kf_max_frames=15,
     ))
+    GLOBAL_TIMER.samples.clear()  # measure only the timed run
     t0 = time.perf_counter()
     for i, img in enumerate(frames):
         sys_.track_monocular(img, i * 0.033)
@@ -73,8 +80,15 @@ def bench_e2e(n_frames=300):
     dt = time.perf_counter() - t0
     n_kf = int(sys_.tracker.map.n_kf)
     ok = sum(r.ok for r in sys_.tracker.trajectory)
+    stage_ms = {
+        k: round(v["mean_ms"], 2)
+        for k, v in sorted(GLOBAL_TIMER.summary().items())
+    }
+    import sys as _s
+
+    print(GLOBAL_TIMER.print_stats(), file=_s.stderr)
     sys_.shutdown()
-    return n_frames / dt, n_kf, ok
+    return n_frames / dt, n_kf, ok, stage_ms
 
 
 def bench_hot_path():
@@ -111,7 +125,7 @@ def bench_hot_path():
 
 def main():
     hot_fps = bench_hot_path()
-    e2e_fps, n_kf, n_ok = bench_e2e()
+    e2e_fps, n_kf, n_ok, stage_ms = bench_e2e()
     baseline_fps = 1000.0 / 35.0  # ~35 ms/frame on i7 (BASELINE.md)
     print(
         json.dumps(
@@ -124,6 +138,7 @@ def main():
                 "e2e_n_frames": 300,
                 "e2e_keyframes": n_kf,
                 "e2e_tracked_frames": n_ok,
+                "stage_mean_ms": stage_ms,
             }
         )
     )

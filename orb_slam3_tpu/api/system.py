@@ -83,7 +83,7 @@ class System:
         if self._resize is not None:
             img = self._resize(img)
         self.tracker.process(img, timestamp, imu=imu)
-        return self.current_pose()
+        return self.current_pose(settle=False)
 
     def track_stereo(self, img_left, img_right, timestamp: float, imu=None):
         """System::TrackStereo (System.cc:244): rectifies first when the
@@ -94,27 +94,36 @@ class System:
             img_left, img_right = self._resize(img_left), self._resize(img_right)
         self.tracker.process(img_left, timestamp, img_right=img_right,
                              imu=imu)
-        return self.current_pose()
+        return self.current_pose(settle=False)
 
     def track_rgbd(self, img, depth, timestamp: float, imu=None):
         """System::TrackRGBD (System.cc:328)."""
         if self._resize is not None:
             img, depth = self._resize(img), self._resize(depth)
         self.tracker.process(img, timestamp, depth_map=depth, imu=imu)
-        return self.current_pose()
+        return self.current_pose(settle=False)
 
     # ------------------------------------------------------------------
-    def current_pose(self):
-        """Latest Tcw estimate (R, t) or None before initialization."""
+    def current_pose(self, settle: bool = True):
+        """Latest Tcw estimate (R, t) or None before initialization.
+
+        settle=False returns the newest SETTLED pose without forcing the
+        pipelined frame to complete (may lag one frame) — the per-frame
+        track_* returns use this so the host never blocks on the in-flight
+        device step."""
+        if settle:
+            self.tracker._finalize_pending()
         if self.tracker.last is None:
             return None
-        return np.array(self.tracker.last["R"]), np.array(self.tracker.last["t"])
+        return np.asarray(self.tracker.last["R"]), np.asarray(self.tracker.last["t"])
 
     def tracking_state(self) -> int:
         """System::GetTrackingState (System.h:160)."""
+        self.tracker._finalize_pending()
         return self.tracker.state
 
     def is_lost(self) -> bool:
+        self.tracker._finalize_pending()
         return self.tracker.state in (trk.RECENTLY_LOST, trk.LOST)
 
     def activate_localization_mode(self):

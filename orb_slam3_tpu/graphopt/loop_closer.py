@@ -92,15 +92,32 @@ def _landmark_pool(s: atlas_state.MapState, rows):
 
 def project_match_sim3(kind, K8, Rs, ts, ss, lm_pos, lm_desc, pool,
                        feat_xy, feat_desc, feat_valid, radius_px,
-                       max_dist=matching.TH_LOW):
+                       max_dist=matching.TH_LOW,
+                       lm_normal=None, lm_min_dist=None, lm_max_dist=None):
     """SearchByProjection through a Sim3 world->camera transform
     (`ORBmatcher::SearchByProjection(KeyFrame*, Scw, ...)`,
     `/root/reference/src/ORBmatcher.cc:43-150`): project the pooled
     landmarks, window-gate against the keyframe's features, best descriptor
-    match per landmark. Returns (feat_idx [L], dist [L], ok [L])."""
+    match per landmark. Returns (feat_idx [L], dist [L], ok [L]).
+
+    When the landmark normal / scale-invariance envelope are given, applies
+    the reference's viewing-direction and distance gates
+    (`ORBmatcher.cc:92-105`: dist in [minD, maxD], PO.dot(Pn) >= 0.5*dist).
+    These matter for loop verification: a mirrored-texture alias can be
+    realized as a PROPER 180-degree rotation about an in-plane axis — the
+    matched surface is then viewed from BEHIND, which only the normal
+    check rejects."""
     Xc = ss * jnp.einsum("ij,lj->li", Rs, lm_pos) + ts
     uvp = cam_mod.project(kind, K8, Xc)
     front = (Xc[:, 2] > 0.05) & pool
+    if lm_normal is not None:
+        # camera center in world: S_cw^{-1} origin = -(1/s) R^T t
+        O = -jnp.einsum("ji,j->i", Rs, ts) / jnp.maximum(ss, 1e-9)
+        PO = lm_pos - O[None, :]
+        d3 = jnp.linalg.norm(PO, axis=-1)
+        view_ok = jnp.sum(PO * lm_normal, axis=-1) >= 0.5 * d3
+        dist_ok = (d3 >= 0.8 * lm_min_dist) & (d3 <= 1.2 * lm_max_dist)
+        front = front & view_ok & dist_ok
     win = matching.window_mask(uvp, feat_xy, radius_px, front, feat_valid)
     dist = matching.hamming_matrix(lm_desc, feat_desc)
     return matching.masked_best_match(dist, win, max_dist=max_dist)
@@ -164,6 +181,13 @@ class LoopCloser:
             self.voc, s.kf_feat_desc[kf_row], s.kf_feat_valid[kf_row]
         )
         W = atlas_state.covisibility_weights(s)
+        # candidate EXCLUSION uses any-shared-observation connectivity:
+        # the reference's spConnectedKeyFrames comes from the FULL
+        # KFcounter (`mConnectedKeyFrameWeights = KFcounter`,
+        # KeyFrame.cc:461 — weight>=1), not the >=15 strong-edge set.
+        # Weakly-overlapping consecutive views (shared panels at a large
+        # viewpoint change) must not become loop candidates.
+        connected = W[kf_row] >= 1
         covis = W[kf_row] >= cfg.covis_threshold
 
         confirmed = None  # (cand, Rsw, tsw, ssw, pool)
@@ -183,7 +207,8 @@ class LoopCloser:
 
             recent = jnp.arange(s.kmax) > (kf_row - cfg.min_temporal_gap)
             idx, vals, ok = recognition.loop_candidates(
-                self.db, bow, kf_row, covis | recent, min_score, covis_W=W
+                self.db, bow, kf_row, connected | recent, min_score,
+                covis_W=W,
             )
             for cand, okc in zip(np.array(idx), np.array(ok)):
                 if not okc:
@@ -240,6 +265,8 @@ class LoopCloser:
             kind, K8, Rsw, tsw, ssw, s.lm_pos, s.lm_desc, pool,
             s.kf_feat_xy[kf_row], s.kf_feat_desc[kf_row],
             s.kf_feat_valid[kf_row], radius,
+            lm_normal=s.lm_normal, lm_min_dist=s.lm_min_dist,
+            lm_max_dist=s.lm_max_dist,
         )
         n_proj = int(ok_lm.sum())
         matched_lm, fwd, own_lm, inv = self._match_pairs(
@@ -268,6 +295,8 @@ class LoopCloser:
             kind, K8, Rsw, tsw, jnp.asarray(ssw), s.lm_pos, s.lm_desc, pool,
             s.kf_feat_xy[row], s.kf_feat_desc[row],
             s.kf_feat_valid[row], radius,
+            lm_normal=s.lm_normal, lm_min_dist=s.lm_min_dist,
+            lm_max_dist=s.lm_max_dist,
         )
         return int(ok_lm.sum())
 
@@ -471,15 +500,9 @@ class LoopCloser:
             ),
         )
 
-        # essential-graph PGO seeded at the corrected poses, loop edge =
-        # measured relative Sim3 (Optimizer::OptimizeEssentialGraph)
-        Rrel, trel, srel = lie.sim3_mul(
-            *lie.sim3_inv(corr_R[kf_row], corr_t[kf_row] * 0 + tsw, # placeholder overwritten below
-                          jnp.asarray(ssw)),
-            s.kf_R[cand], s.kf_t[cand], jnp.asarray(1.0),
-        )
-        # loop edge S_cand<-cur from the measured Scw: S_cand,cur =
-        # T_cand,w o S_cw^{-1}
+        # essential-graph PGO seeded at the corrected poses; loop edge
+        # S_cand<-cur from the measured Scw: S_cand,cur = T_cand,w o S_cw^{-1}
+        # (Optimizer::OptimizeEssentialGraph loop-edge construction)
         Rsi, tsi, ssi = lie.sim3_inv(Rsw, tsw, jnp.asarray(ssw))
         Rrel, trel, srel = lie.sim3_mul(
             s.kf_R[cand], s.kf_t[cand], jnp.asarray(1.0), Rsi, tsi, ssi

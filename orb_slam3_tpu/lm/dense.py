@@ -144,7 +144,11 @@ def solve(problem: Problem, num_iters: int, lam0: float = 1e-5) -> tuple[Problem
         H = H * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
         g = g * m
         D = H.shape[0]
-        Hd = H + lam * jnp.eye(D, dtype=H.dtype)
+        # relative (Marquardt) damping: absolute lam*I is invisible in f32
+        # against curvature entries ~ fx^2 * n_obs (see lm/schur.py note)
+        dH = jnp.diag(H)
+        damp = lam * dH + 1e-6 * jnp.maximum(jnp.max(dH), 1.0)
+        Hd = H + jnp.diag(damp)
         # Cholesky solve; fall back handled by damping growth on failure
         L, low = jax.scipy.linalg.cho_factor(Hd, lower=True)
         delta = jax.scipy.linalg.cho_solve((L, low), -g)
@@ -154,8 +158,8 @@ def solve(problem: Problem, num_iters: int, lam0: float = 1e-5) -> tuple[Problem
         p_new = apply_delta(p, delta)
         new_cost = cost_only(p_new)
 
-        # g2o gain ratio: rho = (F - F') / (0.5 * delta^T (lam*delta - g))
-        denom = jnp.maximum(jnp.dot(delta, lam * delta - g), 1e-12)
+        # g2o gain ratio: rho = (F - F') / (0.5 * delta^T (damp*delta - g))
+        denom = jnp.maximum(jnp.dot(delta, damp * delta - g), 1e-12)
         rho = (cost - new_cost) / denom
         accept = jnp.logical_and(new_cost < cost, ~bad)
 

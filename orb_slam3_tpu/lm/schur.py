@@ -185,9 +185,16 @@ def _schur_solve(p: BAProblem, lam):
         gc = gc + gcam.reshape(K, C)
     cost = cost + cost_cam
 
-    # landmark system
+    # landmark system with RELATIVE (Marquardt) damping: lam scales the
+    # local diagonal. Absolute lam*I damping is invisible in f32 against
+    # Hll entries ~ fx^2 * n_obs (1e5-1e6): degenerate landmark blocks
+    # (2 near-parallel rays) then invert to garbage and poison the Schur
+    # complement (NaN Cholesky at every usable lam — the round-2 BA stall).
+    # g2o gets away with absolute damping only because it runs double.
     Hll = jnp.zeros((L, 3, 3), jnp.float32).at[p.lm_idx].add(Hll_e)
-    Hll = Hll + (lam + 1e-8) * jnp.eye(3)[None]
+    dHll = jnp.diagonal(Hll, axis1=-2, axis2=-1)          # [L, 3]
+    floor_l = 1e-6 * jnp.maximum(jnp.max(dHll), 1.0)
+    Hll = Hll + jax.vmap(jnp.diag)(lam * dHll + floor_l)
     # fixed landmarks -> identity blocks (their delta is zeroed later anyway)
     Hll = jnp.where(
         p.point_fixed[:, None, None], jnp.eye(3)[None], Hll
@@ -203,11 +210,13 @@ def _schur_solve(p: BAProblem, lam):
     S_fill = jnp.einsum("lkd,ljd->kj", BW, B2)  # [KC, KC]
     b_fill = jnp.einsum("lkd,ld->k", BW, gl)  # [KC]
 
-    # masked, damped reduced system
+    # masked, damped reduced system (relative damping, as for Hll)
     m = (cam_free[:, None] * jnp.ones((K, C))).reshape(KC)
     S = Hcc.reshape(KC, KC) - S_fill
     S = S * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
-    S = S + lam * jnp.eye(KC)
+    dS = jnp.diag(S)
+    floor_s = 1e-6 * jnp.maximum(jnp.max(dS), 1.0)
+    S = S + jnp.diag(lam * dS + floor_s)
     rhs = (-gc.reshape(KC) + b_fill) * m
 
     # the reduced system can mix visual (~1e-3) and inertial (~1) curvatures
@@ -224,7 +233,12 @@ def _schur_solve(p: BAProblem, lam):
     dl = jnp.einsum("lab,lb->la", Hll_inv, -gl - Hlc_dc)
     dl = dl * lm_free[:, None]
 
-    return dc.reshape(K, C), dl, cost
+    # LM predicted decrease 0.5*(lam*d'Dd - g'd) for the gain ratio
+    pred = 0.5 * (
+        lam * (jnp.sum(dS * dc * dc) + jnp.sum(dHll * dl * dl))
+        - (jnp.sum(gc.reshape(KC) * m * dc) + jnp.sum(gl * dl))
+    )
+    return dc.reshape(K, C), dl, cost, pred
 
 
 def solve(p: BAProblem, num_iters: int, lam0: float = 1e-5) -> tuple[BAProblem, BAStats]:
@@ -232,7 +246,7 @@ def solve(p: BAProblem, num_iters: int, lam0: float = 1e-5) -> tuple[BAProblem, 
 
     def body(carry, _):
         prob, lam, ni, accepted = carry
-        dc, dl, cost = _schur_solve(prob, lam)
+        dc, dl, cost, pred = _schur_solve(prob, lam)
         bad = jnp.logical_or(
             jnp.any(~jnp.isfinite(dc)), jnp.any(~jnp.isfinite(dl))
         )
@@ -241,8 +255,7 @@ def solve(p: BAProblem, num_iters: int, lam0: float = 1e-5) -> tuple[BAProblem, 
         cand = _apply_step(prob, dc, dl)
         new_cost = ba_cost(cand)
 
-        delta_sq = jnp.sum(dc * dc) + jnp.sum(dl * dl)
-        rho = (cost - new_cost) / jnp.maximum(lam * delta_sq, 1e-12)
+        rho = (cost - new_cost) / jnp.maximum(pred, 1e-12)
         accept = jnp.logical_and(new_cost < cost, ~bad)
 
         lam_next = jnp.clip(

@@ -25,9 +25,18 @@ from ..ops import lie
 
 @partial(jax.jit, static_argnames=("kind",))
 def fuse_into_keyframe(kind: int, K, s: MapState, kf_row, scale_factors,
-                       radius_px: float = 2.0, max_dist: int = 35):
-    """Project all valid landmarks of the active map into keyframe `kf_row`
+                       radius_px: float = 2.0, max_dist: int = 35,
+                       lm_mask=None):
+    """Project valid landmarks of the active map into keyframe `kf_row`
     and bind unambiguous matches to its currently-unbound features.
+
+    lm_mask restricts the candidate set — the per-keyframe mapping fuse
+    passes the covisibility-neighborhood pool, matching the reference's
+    SearchInNeighbors scope (`LocalMapping.cc:714-900`: points of the
+    2-hop target KFs, never the whole map). A map-wide fuse would silently
+    weld genuine revisits and starve loop detection of candidates; the
+    map-wide behavior remains available (lm_mask=None) for the post-loop
+    SearchAndFuse role.
 
     Returns the updated MapState. Already-bound features and already-observed
     landmarks (by this KF) are skipped.
@@ -37,6 +46,8 @@ def fuse_into_keyframe(kind: int, K, s: MapState, kf_row, scale_factors,
     R, t = s.kf_R[kf_row], s.kf_t[kf_row]
 
     lm_ok = s.lm_valid & (s.lm_map_id == s.active_map)
+    if lm_mask is not None:
+        lm_ok = lm_ok & lm_mask
     # skip landmarks this KF already observes
     already = jnp.zeros((L,), bool).at[
         jnp.clip(s.kf_feat_lm[kf_row], 0, L - 1)

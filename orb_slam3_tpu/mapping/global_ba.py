@@ -30,7 +30,14 @@ from ..parallel import map_ba
 
 
 def _make_mesh():
-    devs = np.array(jax.devices())
+    """Single-device mesh by default: the background GBA thread shares the
+    chip with tracking dispatch. A multi-device mesh here would issue
+    collectives (all_reduce) whose in-process rendezvous can starve against
+    the main thread's concurrent XLA work and hard-abort the process (seen
+    on the 8-virtual-device CPU backend: `Termination timeout for all
+    reduce ... Exiting`). Callers that dedicate devices to GBA pass an
+    explicit mesh."""
+    devs = np.array(jax.devices()[:1])
     return Mesh(devs.reshape(-1), ("lm",))
 
 

@@ -353,6 +353,19 @@ def cull_keyframes(s: MapState, window_rows, min_redundancy: float = 0.9,
             parent0[jnp.clip(new_parent, 0, K - 1)],
             new_parent,
         )
+    # splice the temporal prev chain past killed KFs the same way (the
+    # reference rewires mPrevKF/mNextKF in SetBadFlag; leaving a culled row
+    # linked breaks the chain invariant and, after compaction, can point a
+    # survivor at a recycled tail row)
+    prev0 = s.kf_prev
+    new_prev = prev0
+    for _ in range(int(window_rows.shape[0])):
+        new_prev = jnp.where(
+            killed_mask[jnp.clip(new_prev, 0, K - 1)] & (new_prev >= 0),
+            prev0[jnp.clip(new_prev, 0, K - 1)],
+            new_prev,
+        )
     return dataclasses.replace(
-        s, kf_valid=kf_valid, kf_feat_lm=kf_feat_lm, kf_parent=new_parent
+        s, kf_valid=kf_valid, kf_feat_lm=kf_feat_lm, kf_parent=new_parent,
+        kf_prev=new_prev,
     )

@@ -133,8 +133,12 @@ def make_dist_ba_step(mesh: Mesh, residual, cam_retract, C: int,
         ].add(Hcc_e)
         gc = jnp.zeros((Kc, C)).at[cam_idx].add(gc_e)
 
+        # relative (Marquardt) damping — see lm/schur.py: absolute lam*I is
+        # invisible in f32 against curvature ~ fx^2 * n_obs
         Hll = jnp.zeros((Lp, 3, 3)).at[lm_idx].add(Hll_e)
-        Hll = Hll + (lam + 1e-8) * jnp.eye(3)[None]
+        dHll = jnp.diagonal(Hll, axis1=-2, axis2=-1)
+        floor_l = 1e-6 * jnp.maximum(jax.lax.psum(jnp.max(dHll), axis), 1.0)
+        Hll = Hll + jax.vmap(jnp.diag)(lam * dHll + floor_l)
         Hll = jnp.where(point_fixed[:, None, None], jnp.eye(3)[None], Hll)
         Hll_inv = jnp.linalg.inv(Hll)
         gl = jnp.zeros((Lp, 3)).at[lm_idx].add(gl_e) * lm_free[:, None]
@@ -155,7 +159,8 @@ def make_dist_ba_step(mesh: Mesh, residual, cam_retract, C: int,
         m = (cam_free[:, None] * jnp.ones((Kc, C))).reshape(KC)
         S = Hcc.reshape(KC, KC) - S_fill
         S = S * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
-        S = S + lam * jnp.eye(KC)
+        dS = jnp.diag(S)
+        S = S + jnp.diag(lam * dS + 1e-6 * jnp.maximum(jnp.max(dS), 1.0))
         rhs = (-gc.reshape(KC) + b_fill) * m
         Lch, low = jax.scipy.linalg.cho_factor(S, lower=True)
         dc = jax.scipy.linalg.cho_solve((Lch, low), rhs)  # replicated
@@ -178,6 +183,34 @@ def make_dist_ba_step(mesh: Mesh, residual, cam_retract, C: int,
     return jax.jit(sharded)
 
 
+def make_dist_cost_fn(mesh: Mesh, residual, huber_delta: float | None):
+    """Residual-only cost over the mesh — the cheap candidate evaluation
+    for the LM accept test (no Jacobians, no Schur: one LM iteration does
+    ONE linearization, per VERDICT r2 weak #4)."""
+    axis = mesh.axis_names[0]
+
+    def shard_fn(cam_state, K8, points, cam_idx, lm_idx, uv, info, mask):
+        Ep = cam_idx.shape[0]
+        cs = jax.tree.map(lambda a: a[cam_idx], cam_state)
+        X = points[lm_idx]
+        data = {"uv": uv, "K": jnp.tile(K8[None], (Ep, 1))}
+        r = jax.vmap(residual)(cs, X, data)
+        chi2 = jnp.sum(r * r, axis=-1) * info
+        rho = chi2 if huber_delta is None else robust.huber_rho(
+            chi2, huber_delta
+        )
+        return jax.lax.psum(jnp.sum(jnp.where(mask, rho, 0.0)), axis)
+
+    sharded = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P(axis)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def dist_ba_solve(mesh, residual, cam_retract, cam_state, cam_fixed, K8,
                   points_s, pfix_s, cam_s, lml_s, uv_s, info_s, mask_s,
                   num_iters: int = 10, lam0: float = 1e-5, C: int = 6,
@@ -185,7 +218,7 @@ def dist_ba_solve(mesh, residual, cam_retract, cam_state, cam_fixed, K8,
     """LM loop on the host around the jitted distributed step. Returns
     (cam_state, points_s, costs list)."""
     step = make_dist_ba_step(mesh, residual, cam_retract, C, huber_delta)
-    axis = mesh.axis_names[0]
+    cost_fn = make_dist_cost_fn(mesh, residual, huber_delta)
     lam = lam0
     costs = []
 
@@ -193,28 +226,22 @@ def dist_ba_solve(mesh, residual, cam_retract, cam_state, cam_fixed, K8,
         dc = jnp.where(cam_fixed[:, None], 0.0, dc)
         return jax.vmap(cam_retract)(cam_state, dc)
 
-    prev_cost = None
+    flat_args = (cam_s.reshape(-1), lml_s.reshape(-1),
+                 uv_s.reshape(-1, 2), info_s.reshape(-1), mask_s.reshape(-1))
     for it in range(num_iters):
         dc, dl, cost = step(
             cam_state, cam_fixed, K8, jnp.asarray(lam, jnp.float32),
-            points_s.reshape(-1, 3), pfix_s.reshape(-1),
-            cam_s.reshape(-1), lml_s.reshape(-1),
-            uv_s.reshape(-1, 2), info_s.reshape(-1), mask_s.reshape(-1),
+            points_s.reshape(-1, 3), pfix_s.reshape(-1), *flat_args,
         )
         cost = float(cost)
         costs.append(cost)
         cand_cams = apply_cam(cam_state, dc)
         cand_points = points_s.reshape(-1, 3) + dl
-        # evaluate candidate cost with a zero-lam linearization call (cheap
-        # proxy: reuse step's cost output next iteration); accept based on
-        # next-cost comparison
-        _, _, cand_cost = step(
-            cand_cams, cam_fixed, K8, jnp.asarray(lam, jnp.float32),
-            cand_points, pfix_s.reshape(-1),
-            cam_s.reshape(-1), lml_s.reshape(-1),
-            uv_s.reshape(-1, 2), info_s.reshape(-1), mask_s.reshape(-1),
-        )
-        if float(cand_cost) < cost:
+        # residual-only candidate evaluation: one LM step = ONE
+        # linearization (the previous version re-linearized just to read
+        # the cost — 2x the work)
+        cand_cost = float(cost_fn(cand_cams, K8, cand_points, *flat_args))
+        if cand_cost < cost:
             cam_state = cand_cams
             points_s = cand_points.reshape(points_s.shape)
             lam = max(lam * 0.5, 1e-12)

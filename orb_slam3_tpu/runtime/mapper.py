@@ -30,6 +30,7 @@ import weakref
 from collections import deque
 from typing import Callable, Optional
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..atlas import state as atlas_state
@@ -69,7 +70,8 @@ class MapCommit:
 class AsyncMapper:
     def __init__(self, cfg, scale_factors, base_sensor: str,
                  loop_closer=None, background_gba: bool = True,
-                 max_queue: int = 3, max_ba_skips: int = 2):
+                 max_queue: int = 3, max_ba_skips: int = 2,
+                 inline: bool = False):
         self.cfg = cfg
         self.scale_factors = scale_factors
         self.base_sensor = base_sensor
@@ -77,6 +79,12 @@ class AsyncMapper:
         self.background_gba = background_gba
         self.max_queue = max_queue
         self.max_ba_skips = max_ba_skips
+        # deterministic mode: no worker thread — the tracker steps the
+        # mapper inline at frame boundaries (step_inline), so the SAME
+        # enqueue/process/commit/adopt dataflow runs on a fixed schedule.
+        # Removes schedule sensitivity for tests and reproducible runs
+        # (SURVEY.md §7.3-3 hazard; VERDICT r2 weak #1).
+        self.inline = inline
 
         self._state: atlas_state.MapState | None = None
         self._version = 0
@@ -102,11 +110,29 @@ class AsyncMapper:
         self._state = initial_state
         self._last_kf_row = last_kf_row
         self._stop = False
+        if self.inline:
+            return
         self._thread = threading.Thread(
             target=self._run, name="mapper", daemon=True
         )
         self._thread.start()
         _LIVE_MAPPERS.add(self)
+
+    def step_inline(self, max_packages: int = 1):
+        """Deterministic replacement for the worker thread: process up to
+        `max_packages` queued packages synchronously. Called by the tracker
+        at frame boundaries when inline=True."""
+        assert self.inline
+        for _ in range(max_packages):
+            with self._cond:
+                if not self._queue:
+                    return
+                pkg = self._queue.popleft()
+            try:
+                self._process(pkg)
+            except Exception as e:  # noqa: BLE001 — surface like thread mode
+                self.error = e
+                return
 
     def enqueue(self, pkg: pipeline.KFPackage) -> bool:
         """InsertKeyFrame. Returns False if the queue is full (the tracker's
@@ -139,6 +165,13 @@ class AsyncMapper:
     def flush(self, timeout: float = 120.0) -> MapCommit | None:
         """Block until every queued package is processed; return the final
         commit (LocalMapping::RequestStop + isStopped barrier role)."""
+        if self.inline:
+            self.step_inline(max_packages=len(self._queue))
+            if self.error is not None:
+                raise RuntimeError("mapper failed") from self.error
+            c = self._latest
+            self._latest = None
+            return c
         with self._cond:
             self._cond.wait_for(
                 lambda: (not self._queue and not self._busy)
@@ -163,6 +196,11 @@ class AsyncMapper:
                 self._last_kf_row = last_kf_row
 
     def stop(self, timeout: float = 30.0):
+        if self.inline:
+            if self.gba is not None and self.gba.running:
+                self.gba.request_abort()
+                self.gba.join(timeout)
+            return
         with self._cond:
             self._stop = True
             self._cond.notify_all()
@@ -210,41 +248,43 @@ class AsyncMapper:
             )
             return
 
-        s = pipeline.apply_frame_stats(s, pkg)
-        s, kf = pipeline.insert_keyframe_pkg(
-            s, pkg, cfg, self.base_sensor, self._last_kf_row
-        )
-        # CreateNewMapPoints for all sensors (LocalMapping.cc:388): far
-        # structure beyond the depth close-point rule comes from epipolar
-        # triangulation against covisible neighbors
-        s = pipeline.triangulate_mono(
-            s, kf, cfg, self.scale_factors, self._last_kf_row
-        )
+        from ..utils.timing import GLOBAL_TIMER as T
 
-        # fuse + local BA only when the queue is empty (LocalMapping.cc:
-        # 108-156 runs SearchInNeighbors/BA only with no pending KFs) — but
+        # fused pre-BA stage: stats + insert + depth landmarks +
+        # triangulation + covisible fuse + BA-window selection, one jit
+        with T.stage("map.pre"):
+            s, kf, ba_rows, n_fixed = pipeline.run_pre_stage(
+                s, pkg, cfg, self.base_sensor, self._last_kf_row,
+                self.scale_factors,
+            )
+
+        # local BA only when the queue is empty (LocalMapping.cc:108-156
+        # runs SearchInNeighbors/BA only with no pending KFs) — but
         # bounded: after max_ba_skips consecutive preemptions BA runs anyway
         busy = self._queue_nonempty()
         if not busy or self._skipped_ba >= self.max_ba_skips:
-            s = pipeline.fuse_recent(s, cfg, self.scale_factors)
-            rows, n_fixed = pipeline.ba_window(s, cfg)
-            s = pipeline.run_visual_ba(
-                s, cfg, self.scale_factors, rows, n_fixed, self.base_sensor,
-                abort_check=(
-                    self._queue_nonempty
-                    if self._skipped_ba < self.max_ba_skips else None
-                ),
-            )
-            s = pipeline.cull(s, cfg, rows, use_imu=False)
+            with T.stage("map.local_ba"):
+                s = pipeline.run_visual_ba(
+                    s, cfg, self.scale_factors, ba_rows, n_fixed,
+                    self.base_sensor,
+                    abort_check=(
+                        self._queue_nonempty
+                        if self._skipped_ba < self.max_ba_skips else None
+                    ),
+                )
+            with T.stage("map.culling"):
+                s = pipeline.map_stage_post(
+                    s, ba_rows, jnp.asarray(cfg.local_window + 4, jnp.int32)
+                )
             self._skipped_ba = 0
             self.n_ba_runs += 1
         else:
             # always cull map points + refresh stats (MapPointCulling runs
             # unconditionally in the reference loop, LocalMapping.cc:105)
-            from ..mapping import local_mapper
-
-            s = local_mapper.cull_landmarks(s)
-            s = atlas_state.update_landmark_stats(s)
+            with T.stage("map.culling"):
+                s = pipeline.map_stage_post(
+                    s, ba_rows, jnp.asarray(cfg.kmax + 1, jnp.int32)
+                )
             self._skipped_ba += 1
             self.n_ba_skips += 1
 
@@ -260,7 +300,10 @@ class AsyncMapper:
         if self.loop_closer is not None:
             merges_before = self.loop_closer.n_merges
             loops_before = self.loop_closer.n_loops
-            s, closed = self.loop_closer.on_keyframe(s, kf, cfg.kind, cfg.K)
+            with T.stage("map.loop_detect"):
+                s, closed = self.loop_closer.on_keyframe(
+                    s, kf, cfg.kind, cfg.K
+                )
             if closed:
                 big = True
                 if self.loop_closer.n_loops > loops_before:

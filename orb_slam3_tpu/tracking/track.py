@@ -257,3 +257,180 @@ def match_local_map(kind: int, K, R, t, lm_pos, lm_desc, lm_valid,
         max_dist=matching.TH_HIGH, ratio=0.8, level_lo=-1, level_hi=1,
     )
     return idx, ok, visible, uv_pred, d
+
+
+# ---------------------------------------------------------------------------
+# Fused per-frame visual tracking step
+# ---------------------------------------------------------------------------
+
+NO_LM_I32 = jnp.int32(-1)
+
+
+@partial(jax.jit, static_argnames=("kind", "use_stereo"))
+def track_frame_visual(kind: int, K, bf,
+                       lm_pos, lm_desc, in_map, lm_max_dist, lm_min_dist,
+                       lm_normal,
+                       ref_desc, ref_has_lm, ref_lm_rows,
+                       feat_xy, feat_desc, feat_octave, feat_valid, frame_ur,
+                       R_pred, t_pred, R_last, t_last,
+                       have_velocity, tracked_lms, last_inliers,
+                       radius_coarse, radius_fine, min_inliers,
+                       scale_factors, img_w, img_h,
+                       use_stereo: bool):
+    """One visual tracking step as a single compiled program: stage-1
+    coarse match+optimize at the predicted pose (with the widened-window
+    retry from the last pose under a `lax.cond`), stage-2 fine match, the
+    TrackReferenceKeyFrame appearance fallback, SO(3) projection, motion
+    model, and the per-feature landmark assignment.
+
+    Role of Tracking::TrackWithMotionModel + TrackLocalMap +
+    TrackReferenceKeyFrame (`/root/reference/src/Tracking.cc:2720-3061`).
+    Fusing the whole step removes ~10 separate dispatches and host syncs
+    per frame — measured 5x on the per-frame wall time (the same win the
+    hot-path entry() fusion shows).
+
+    Returns dict with R, t (normalized), n_inliers, tracked [L], feat_lm
+    [F], vis32/fnd32 [L], Rv/tv (velocity), vel_poisoned flag.
+    """
+    from ..ops import lie as lie_mod
+
+    L = lm_pos.shape[0]
+    n_feat = feat_xy.shape[0]
+    n_levels = scale_factors.shape[0]
+
+    cont = in_map & tracked_lms
+    stage1_mask = jnp.where(
+        jnp.sum(cont) > 2 * min_inliers, cont, in_map
+    )
+
+    def match_opt(R0, t0, mask, radius):
+        idx, ok, visible, _, mdist = match_local_map(
+            kind, K, R0, t0, lm_pos, lm_desc, mask,
+            lm_max_dist, lm_min_dist, lm_normal,
+            feat_xy, feat_desc, feat_octave, feat_valid,
+            radius, scale_factors, img_wh=(img_w, img_h),
+        )
+        inv_sig2 = 1.0 / (
+            scale_factors[jnp.clip(feat_octave[idx], 0, n_levels - 1)] ** 2
+        )
+        uv = feat_xy[idx]
+        if use_stereo:
+            ur_edge = jnp.where(ok, frame_ur[idx], -1.0)
+            R, t, inlier, n = pose_optimize_stereo(
+                kind, K, bf, R0, t0, uv, ur_edge, lm_pos, inv_sig2, ok
+            )
+        else:
+            R, t, inlier, n = pose_optimize(
+                kind, K, R0, t0, uv, lm_pos, inv_sig2, ok
+            )
+        return R, t, inlier, n, idx, visible
+
+    # stage 1 at the predicted pose
+    R1, t1, _, n1, _, _ = match_opt(R_pred, t_pred, stage1_mask,
+                                    radius_coarse)
+
+    # widened retry from the last pose when the motion model is poisoned
+    # (Tracking.cc:2892-2897)
+    do_fb = have_velocity & (
+        n1 < jnp.maximum(2 * min_inliers, 0.5 * last_inliers)
+    )
+
+    def fb(_):
+        Rb, tb, _, nb, _, _ = match_opt(R_last, t_last, in_map,
+                                        2.0 * radius_coarse)
+        # the wide window admits lattice-aliased associations on
+        # repetitive texture, and pose_optimize will happily converge to
+        # them — accept the retry only on a DECISIVE improvement, not a
+        # marginal one (measured: a 35-vs-30 "win" at 2x radius snapped
+        # the pose 0.4 units onto a texture alias and corrupted the map)
+        better = (nb > 2 * n1) & (nb > 2 * min_inliers)
+        return (jnp.where(better, Rb, R1), jnp.where(better, tb, t1),
+                jnp.where(better, nb, n1), better)
+
+    def keep(_):
+        return (R1, t1, n1, jnp.asarray(False))
+
+    R1f, t1f, n1f, vel_poisoned = jax.lax.cond(do_fb, fb, keep, None)
+
+    # stage 2: fine matching at the refined pose
+    R2, t2, inlier, n2, idx, visible = match_opt(
+        R1f, t1f, in_map, radius_fine
+    )
+
+    # TrackReferenceKeyFrame appearance fallback (Tracking.cc:2720-2779)
+    def refkf(_):
+        midx, _, mok = matching.search_by_brute_force(
+            feat_desc, feat_valid, ref_desc, ref_has_lm,
+            ratio=0.7, max_dist=matching.TH_LOW,
+        )
+        enough = jnp.sum(mok) >= 15
+        rows = jnp.clip(ref_lm_rows[midx], 0, L - 1)
+        okr = mok & in_map[rows]
+        inv_all = 1.0 / (
+            scale_factors[jnp.clip(feat_octave, 0, n_levels - 1)] ** 2
+        )
+        Rr, tr, _, nr = pose_optimize(
+            kind, K, R_last, t_last, feat_xy, lm_pos[rows], inv_all, okr
+        )
+        good = enough & (nr >= 10)
+        Rb, tb, inlb, nb, idxb, visb = match_opt(Rr, tr, in_map, radius_fine)
+        use = good & (nb > n2)
+        return (jnp.where(use, Rb, R2), jnp.where(use, tb, t2),
+                jnp.where(use[None], inlb, inlier),
+                jnp.where(use, nb, n2),
+                jnp.where(use[None], idxb, idx),
+                jnp.where(use[None], visb, visible))
+
+    def keep2(_):
+        return (R2, t2, inlier, n2, idx, visible)
+
+    R2f, t2f, inlier, n2f, idx, visible = jax.lax.cond(
+        n2 < min_inliers, refkf, keep2, None
+    )
+
+    R2f = lie_mod.normalize_rotation(R2f)
+    # motion model velocity = T_cur T_last^-1 (Tracking.cc:2207)
+    Rl_inv, tl_inv = lie_mod.se3_inv(R_last, t_last)
+    Rv, tv = lie_mod.se3_mul(R2f, t2f, Rl_inv, tl_inv)
+    Rv = lie_mod.normalize_rotation(Rv)
+
+    # per-feature landmark assignment (newest-wins scatter-max; see
+    # Tracker._assign_features)
+    feat_lm = jnp.full((n_feat,), NO_LM_I32, jnp.int32)
+    feat_lm = feat_lm.at[jnp.where(inlier, idx, n_feat)].max(
+        jnp.where(inlier, jnp.arange(L, dtype=jnp.int32), NO_LM_I32),
+        mode="drop",
+    )
+    return dict(
+        R=R2f, t=t2f, n=n2f, tracked=inlier, feat_lm=feat_lm,
+        vis32=visible.astype(jnp.int32), fnd32=inlier.astype(jnp.int32),
+        Rv=Rv, tv=tv, vel_poisoned=vel_poisoned,
+        # stacked scalars: ONE host fetch per frame reads both
+        scal=jnp.stack([n2f.astype(jnp.int32),
+                        vel_poisoned.astype(jnp.int32)]),
+    )
+
+
+@jax.jit
+def local_map_mask(kf_feat_lm, kf_feat_valid, kf_valid, lm_valid, lm_map_id,
+                   active_map, covis_W_row, ref_row, max_kfs: int = 80):
+    """Landmarks of the covisibility-local map of `ref_row`
+    (Tracking::UpdateLocalKeyFrames/UpdateLocalPoints, Tracking.cc:
+    3417-3607: the K1 observers + K2 neighbors, capped at 80 KFs, define
+    mvpLocalMapPoints). Tracking matches ONLY against this set — scoping is
+    what routes genuine revisits through place recognition instead of
+    silently re-binding old structure, and it bounds per-frame match cost.
+
+    covis_W_row: [K] covisibility weights of the reference KF."""
+    K, F = kf_feat_lm.shape[0], kf_feat_lm.shape[1]
+    L = lm_valid.shape[0]
+    row = jnp.where(jnp.arange(K) == ref_row, 0, covis_W_row)
+    row = jnp.where(kf_valid, row, 0)
+    topw, topi = jax.lax.top_k(row, min(max_kfs, K))
+    in_local = jnp.zeros((K,), bool).at[topi].max(topw > 0)
+    in_local = in_local.at[jnp.clip(ref_row, 0, K - 1)].set(True)
+    bound = (kf_feat_lm >= 0) & kf_feat_valid & in_local[:, None]
+    mask = jnp.zeros((L,), bool).at[
+        jnp.clip(kf_feat_lm, 0, L - 1).reshape(-1)
+    ].max(bound.reshape(-1), mode="drop")
+    return mask & lm_valid & (lm_map_id == active_map)

@@ -35,6 +35,10 @@ OK = 1
 RECENTLY_LOST = 2
 LOST = 3
 
+# sentinel: the frame's outcome is deferred to the next process() call
+# (pipelined fused tracking — see Tracker._finalize_pending)
+PENDING = object()
+
 
 @jax.jit
 def _ref_tracked_map_points(kf_feat_lm, kf_feat_valid, kf_valid, lm_valid,
@@ -95,6 +99,11 @@ class TrackerConfig:
     # Applies to visual sensors; inertial modes run synchronously (the VI
     # init/refinement stages re-gauge the tracker state in place).
     async_mapping: bool = True
+    # deterministic scheduling of the mapper: same queue/commit/adopt
+    # dataflow, but the tracker steps the mapper inline at each frame
+    # boundary (one package per frame) instead of a free-running thread —
+    # results become schedule-insensitive and reproducible run-to-run
+    deterministic_mapping: bool = False
 
 
 @dataclasses.dataclass
@@ -203,6 +212,7 @@ class Tracker:
                 self.cfg, self.scale_factors, self.base_sensor,
                 loop_closer=self.loop_closer,
                 background_gba=self.background_gba,
+                inline=self.cfg.deterministic_mapping,
             )
             self.async_mapper.start(self.map, self.last_kf_row)
             self._mapper_stale = False
@@ -221,6 +231,8 @@ class Tracker:
         m = self.async_mapper
         if m is None:
             return
+        if m.inline:
+            m.step_inline()  # fixed schedule: one package per frame boundary
         if m.error is not None:
             err, m.error = m.error, None
             raise RuntimeError("background mapper failed") from err
@@ -267,6 +279,7 @@ class Tracker:
     def sync_mapping(self):
         """Public barrier: make self.map reflect all queued mapping work
         (used by System for save/shutdown/global-BA entry points)."""
+        self._finalize_pending()
         self._mapper_barrier()
 
     # ------------------------------------------------------------------
@@ -279,8 +292,8 @@ class Tracker:
         grow it (the reference's sessions are heap-unbounded,
         KeyFrame::SetBadFlag frees nodes — KeyFrame.cc:573)."""
         s = self.map
-        lm_tight = int(s.n_lm) > s.lmax - s.fmax
-        kf_tight = int(s.n_kf) > s.kmax - 4
+        lm_tight = self._n_lm_cache() > s.lmax - s.fmax
+        kf_tight = self._n_kf_cache() > s.kmax - 4
         if not (lm_tight or kf_tight):
             return
         self._mapper_barrier()
@@ -307,7 +320,7 @@ class Tracker:
             if r < 0:
                 continue
             if not old_valid[r]:
-                R_rel, t_rel = rec.R_rel, rec.t_rel
+                R_rel, t_rel = np.asarray(rec.R_rel), np.asarray(rec.t_rel)
                 a = r
                 while a >= 0 and not old_valid[a]:
                     p = int(old_parent[a])
@@ -493,6 +506,7 @@ class Tracker:
                 self.map = dataclasses.replace(
                     self.map, active_map=self.map.kf_map_id[cand]
                 )
+                self._map_version += 1
                 self._mapper_stale = True
             return True
         return False
@@ -506,8 +520,11 @@ class Tracker:
         System.cc:244/328/399; GrabImuData, Tracking.cc:1618)."""
         from ..frontend import stereo as stereo_mod
 
-        self._adopt_commits()
-        self._maybe_compact()
+        with GLOBAL_TIMER.stage("track.finalize"):
+            self._finalize_pending()
+        with GLOBAL_TIMER.stage("track.adopt"):
+            self._adopt_commits()
+            self._maybe_compact()
         if self.imu is not None:
             self.imu.ingest(np.asarray(imu) if imu is not None else None)
         # timestamp sanity (Tracking.cc:1818-1855): a backwards step, or a
@@ -519,7 +536,8 @@ class Tracker:
                 self._timestamp_jump()
             elif gap > 1.0:
                 self.velocity = None  # stale motion model (visual-only)
-        img = jnp.asarray(img, jnp.float32)
+        with GLOBAL_TIMER.stage("track.img_xfer"):
+            img = jnp.asarray(img, jnp.float32)
         with GLOBAL_TIMER.stage("orb_extraction"):
             if self.base_sensor == "stereo":
                 feats, feats_r = self._extract_pair(
@@ -529,13 +547,14 @@ class Tracker:
                 feats = self._extract(img)
         ur = depth = None
         if self.base_sensor == "stereo" and self.cfg.stereo_fisheye:
-            depth, _ = stereo_mod.match_stereo_fisheye(
-                self.cfg.kind, self.cfg.K, self.cfg.K_right,
-                jnp.asarray(self.cfg.R_rl, jnp.float32),
-                jnp.asarray(self.cfg.t_rl, jnp.float32),
-                feats.xy, feats.descriptors, feats.valid,
-                feats_r.xy, feats_r.descriptors, feats_r.valid,
-            )
+            with GLOBAL_TIMER.stage("track.stereo_depth"):
+                depth, _ = stereo_mod.match_stereo_fisheye(
+                    self.cfg.kind, self.cfg.K, self.cfg.K_right,
+                    jnp.asarray(self.cfg.R_rl, jnp.float32),
+                    jnp.asarray(self.cfg.t_rl, jnp.float32),
+                    feats.xy, feats.descriptors, feats.valid,
+                    feats_r.xy, feats_r.descriptors, feats_r.valid,
+                )
             # bind the triangulated depth as an inverse-depth measurement
             # through the standard stereo edge (ur = u - bf/z, exactly how
             # the reference binds RGB-D, Frame::ComputeStereoFromRGBD,
@@ -550,17 +569,20 @@ class Tracker:
                     -1.0,
                 )
         elif self.base_sensor == "stereo":
-            ur, depth, _ = stereo_mod.match_stereo(
-                feats.xy, feats.octave, feats.descriptors, feats.valid,
-                feats_r.xy, feats_r.octave, feats_r.descriptors, feats_r.valid,
-                img, jnp.asarray(img_right, jnp.float32),
-                self.scale_factors, self.cfg.bf, self.cfg.min_depth,
-            )
+            with GLOBAL_TIMER.stage("track.stereo_depth"):
+                ur, depth, _ = stereo_mod.match_stereo(
+                    feats.xy, feats.octave, feats.descriptors, feats.valid,
+                    feats_r.xy, feats_r.octave, feats_r.descriptors,
+                    feats_r.valid,
+                    img, jnp.asarray(img_right, jnp.float32),
+                    self.scale_factors, self.cfg.bf, self.cfg.min_depth,
+                )
         elif self.base_sensor == "rgbd":
-            ur, depth, _ = stereo_mod.depth_from_rgbd(
-                feats.xy, jnp.asarray(depth_map, jnp.float32),
-                self.cfg.bf, self.cfg.depth_factor,
-            )
+            with GLOBAL_TIMER.stage("track.stereo_depth"):
+                ur, depth, _ = stereo_mod.depth_from_rgbd(
+                    feats.xy, jnp.asarray(depth_map, jnp.float32),
+                    self.cfg.bf, self.cfg.depth_factor,
+                )
         self._frame_ur = ur
         self._frame_depth = depth
 
@@ -571,7 +593,8 @@ class Tracker:
                 ok = self._initialize_with_depth(feats, ur, depth, timestamp)
         else:
             ok = self._track_frame(feats, timestamp)
-        self._record_frame(timestamp, ok)
+        if ok is not PENDING:
+            self._record_frame(timestamp, ok)
 
     def _timestamp_jump(self):
         """Timestamp discontinuity: store the active map and continue in a
@@ -595,6 +618,7 @@ class Tracker:
         self._restart_in_fresh_map()
 
     def _restart_in_fresh_map(self):
+        self._map_version += 1
         self._mapper_stale = True
         self.state = NOT_INITIALIZED
         self.init_ref = None
@@ -624,8 +648,11 @@ class Tracker:
         kf = self.last_kf_row
         R_kf_inv, t_kf_inv = lie.se3_inv(s.kf_R[kf], s.kf_t[kf])
         R_rel, t_rel = lie.se3_mul(self.last["R"], self.last["t"], R_kf_inv, t_kf_inv)
+        # keep DEVICE arrays: forcing np.array here costs two host syncs
+        # per frame that serialize against queued mapper work; consumers
+        # (poses(), compaction re-anchoring) convert lazily
         self.trajectory.append(
-            FrameRecord(timestamp, kf, np.array(R_rel), np.array(t_rel), bool(ok))
+            FrameRecord(timestamp, kf, R_rel, t_rel, bool(ok))
         )
 
     # ------------------------------------------------------------------
@@ -726,6 +753,7 @@ class Tracker:
         self.last_kf_inliers = int(accept.sum())
         self.frames_since_kf = 0
         self.init_ref = None
+        self._map_version += 1
         self._mapper_stale = self.async_mapper is not None
         return True
 
@@ -783,6 +811,7 @@ class Tracker:
         self.last_kf_row = int(kf0)
         self.last_kf_inliers = int(has_depth.sum())
         self.frames_since_kf = 0
+        self._map_version += 1
         self._mapper_stale = self.async_mapper is not None
         return True
 
@@ -792,6 +821,35 @@ class Tracker:
     def _track_frame(self, feats, timestamp) -> bool:
         cfg = self.cfg
         s = self.map
+
+        # visual RECENTLY_LOST goes STRAIGHT to relocalization
+        # (Tracking.cc:1981-2012: `bOK = Relocalization()` — the reference
+        # never motion-tracks while lost without an initialized IMU).
+        # Resuming normal projection tracking from a stale pose on
+        # self-similar texture can "converge" with enough aliased inliers
+        # to a garbage pose; relocalization's BoW + PnP-RANSAC path is the
+        # principled recovery. IMU-initialized trackers keep predicting
+        # through short losses like the reference (PredictStateIMU).
+        if (self.state in (RECENTLY_LOST, LOST)
+                and not (self.imu is not None and self.imu.initialized)):
+            if self._try_relocalize(feats):
+                self.last["ts"] = timestamp
+                return True
+            self.lost_count += 1
+            if self.lost_count >= 5:
+                self.state = LOST
+            self.last["ts"] = timestamp
+            # mature map + persistent loss -> new map in the Atlas
+            # (Tracking::CreateMapInAtlas, Tracking.cc:2014-2032)
+            if self.state == LOST and self._n_kf_cache() >= 10:
+                self._mapper_barrier()
+                self.map = atlas_ops.create_map(self.map)
+                self._map_version += 1
+                self._mapper_stale = True
+                self.state = NOT_INITIALIZED
+                self.init_ref = None
+                self.last_kf_row = -1
+            return False
 
         # pose prediction: IMU if initialized (PredictStateIMU,
         # Tracking.cc:1738), else constant-velocity motion model (:2862-2877)
@@ -819,7 +877,14 @@ class Tracker:
             Rv, tv = self.velocity
             R_pred, t_pred = lie.se3_mul(Rv, tv, R_last, t_last)
 
-        in_map = s.lm_valid & (s.lm_map_id == s.active_map)
+        in_map = self._local_map_mask(s)
+
+        # fused single-jit tracking step for the visual (non-VI) case:
+        # stage-1/retry/stage-2/ref-KF-fallback in ONE compiled program
+        # with a single host fetch (see track.track_frame_visual)
+        if not (self.imu is not None and self.imu.initialized):
+            return self._track_frame_fused(feats, timestamp, s, in_map,
+                                           R_pred, t_pred, R_last, t_last)
 
         # stage 1: match only the landmarks tracked in the LAST frame at the
         # predicted pose (TrackWithMotionModel matches the last frame's map
@@ -831,27 +896,31 @@ class Tracker:
             cont = in_map & self._tracked_lms
             if int(cont.sum()) > cfg.min_inliers * 2:
                 stage1_mask = cont
-        R1, t1, inl1, n1 = self._match_and_optimize(
-            s, feats, R_pred, t_pred, stage1_mask, cfg.match_radius_coarse
-        )
-        # fallback: a poisoned motion model (e.g. planar-ambiguity pose flip)
-        # makes the prediction much worse than the last pose — retry from the
-        # last pose with a doubled window (the reference's widen-x2 retry,
-        # Tracking.cc:2892-2897, plus its TrackReferenceKeyFrame fallback)
-        if self.velocity is not None and int(n1) < max(
-            cfg.min_inliers * 2, 0.5 * self.last_inliers
-        ):
-            R1b, t1b, inl1b, n1b = self._match_and_optimize(
-                s, feats, R_last, t_last, in_map, 2.0 * cfg.match_radius_coarse
+        with GLOBAL_TIMER.stage("track.pose_pred"):
+            R1, t1, inl1, n1 = self._match_and_optimize(
+                s, feats, R_pred, t_pred, stage1_mask, cfg.match_radius_coarse
             )
-            if int(n1b) > int(n1):
-                R1, t1, n1 = R1b, t1b, n1b
-                self.velocity = None
+            # fallback: a poisoned motion model (e.g. planar-ambiguity pose
+            # flip) makes the prediction much worse than the last pose —
+            # retry from the last pose with a doubled window (the
+            # reference's widen-x2 retry, Tracking.cc:2892-2897, plus its
+            # TrackReferenceKeyFrame fallback)
+            if self.velocity is not None and int(n1) < max(
+                cfg.min_inliers * 2, 0.5 * self.last_inliers
+            ):
+                R1b, t1b, inl1b, n1b = self._match_and_optimize(
+                    s, feats, R_last, t_last, in_map,
+                    2.0 * cfg.match_radius_coarse
+                )
+                if int(n1b) > int(n1):
+                    R1, t1, n1 = R1b, t1b, n1b
+                    self.velocity = None
         # stage 2: fine matching at refined pose
-        R2, t2, inl2, n2 = self._match_and_optimize(
-            s, feats, R1, t1, in_map, cfg.match_radius_fine,
-            update_stats=True,
-        )
+        with GLOBAL_TIMER.stage("track.local_map"):
+            R2, t2, inl2, n2 = self._match_and_optimize(
+                s, feats, R1, t1, in_map, cfg.match_radius_fine,
+                update_stats=True,
+            )
         n_inliers = int(n2)
         self.last_inliers = n_inliers
 
@@ -886,6 +955,7 @@ class Tracker:
             if self.state == LOST and int(self.map.n_kf) >= 10:
                 self._mapper_barrier()
                 self.map = atlas_ops.create_map(self.map)
+                self._map_version += 1
                 self._mapper_stale = True
                 self.state = NOT_INITIALIZED
                 self.init_ref = None
@@ -903,12 +973,180 @@ class Tracker:
         self._feat_lm = self._last_feat_lm  # per-feature landmark rows
 
         # keyframe decision (NeedNewKeyFrame, Tracking.cc:3064-3187)
-        if self._need_new_keyframe(feats, timestamp, n_inliers):
+        with GLOBAL_TIMER.stage("track.kf_decision"):
+            need = self._need_new_keyframe(feats, timestamp, n_inliers)
+        if need:
             if self._use_async():
                 self._request_keyframe(feats, timestamp, n_inliers)
             else:
-                self._insert_keyframe(feats, timestamp, n_inliers)
+                with GLOBAL_TIMER.stage("track.kf_insert_sync"):
+                    self._insert_keyframe(feats, timestamp, n_inliers)
         return True
+
+    def _last_kf_ts(self) -> float:
+        """Cached host-side timestamp of the reference keyframe (avoids a
+        device sync per frame)."""
+        if self.last_kf_row < 0:
+            return -1e9
+        key = (self._map_version, self.last_kf_row)
+        if getattr(self, "_kf_ts_cache", (None, 0.0))[0] != key:
+            self._kf_ts_cache = (
+                key, float(self.map.kf_timestamp[self.last_kf_row])
+            )
+        return self._kf_ts_cache[1]
+
+    def _n_kf_cache(self) -> int:
+        """Cached n_kf, refreshed when the map version changes."""
+        if getattr(self, "_n_kf_c", (None, 0))[0] != self._map_version:
+            self._n_kf_c = (self._map_version, int(self.map.n_kf))
+        return self._n_kf_c[1]
+
+    def _n_lm_cache(self) -> int:
+        if getattr(self, "_n_lm_c", (None, 0))[0] != self._map_version:
+            self._n_lm_c = (self._map_version, int(self.map.n_lm))
+        return self._n_lm_c[1]
+
+    def _local_map_mask(self, s):
+        """Covisibility-local landmark mask for tracking (SearchLocalPoints
+        scope, Tracking.cc:3417-3607), cached per map version. Falls back
+        to the whole active map while no reference KF exists."""
+        if self.last_kf_row < 0:
+            return s.lm_valid & (s.lm_map_id == s.active_map)
+        key = (self._map_version, self.last_kf_row)
+        if getattr(self, "_local_mask_cache", (None,))[0] != key:
+            W_row = atlas_state.covisibility_weights(s)[self.last_kf_row]
+            self._local_mask_cache = (key, track_mod.local_map_mask(
+                s.kf_feat_lm, s.kf_feat_valid, s.kf_valid, s.lm_valid,
+                s.lm_map_id, s.active_map, W_row,
+                jnp.asarray(self.last_kf_row, jnp.int32),
+            ))
+        return self._local_mask_cache[1]
+
+    def _track_frame_fused(self, feats, timestamp, s, in_map,
+                           R_pred, t_pred, R_last, t_last) -> bool:
+        """Visual tracking through the fused per-frame jit (one dispatch +
+        one scalar fetch per frame)."""
+        cfg = self.cfg
+        kf = self.last_kf_row if self.last_kf_row >= 0 else 0
+        ref_lm_rows = s.kf_feat_lm[kf]
+        ref_has_lm = (
+            (ref_lm_rows >= 0) & s.kf_feat_valid[kf]
+            if self.last_kf_row >= 0
+            else jnp.zeros((s.fmax,), bool)
+        )
+        tracked = (self._tracked_lms if self._tracked_lms is not None
+                   else jnp.zeros((s.lmax,), bool))
+        use_stereo = (self.base_sensor != "mono"
+                      and self._frame_ur is not None)
+        frame_ur = (self._frame_ur if use_stereo
+                    else -jnp.ones((s.fmax,), jnp.float32))
+        with GLOBAL_TIMER.stage("track.fused_step"):
+            out = track_mod.track_frame_visual(
+                cfg.kind, cfg.K, jnp.asarray(cfg.bf, jnp.float32),
+                s.lm_pos, s.lm_desc, in_map,
+                s.lm_max_dist, s.lm_min_dist, s.lm_normal,
+                s.kf_feat_desc[kf], ref_has_lm, ref_lm_rows,
+                feats.xy, feats.descriptors, feats.octave, feats.valid,
+                frame_ur,
+                R_pred, t_pred, R_last, t_last,
+                jnp.asarray(self.velocity is not None),
+                tracked, jnp.asarray(self.last_inliers, jnp.int32),
+                jnp.asarray(cfg.match_radius_coarse, jnp.float32),
+                jnp.asarray(cfg.match_radius_fine, jnp.float32),
+                jnp.asarray(cfg.min_inliers, jnp.int32),
+                self.scale_factors,
+                jnp.asarray(float(cfg.img_wh[0]), jnp.float32),
+                jnp.asarray(float(cfg.img_wh[1]), jnp.float32),
+                use_stereo=use_stereo,
+            )
+            # start the host copy now; the result is consumed at the NEXT
+            # frame boundary (_finalize_pending) — pipelining hides the
+            # dispatch->completion latency of the device link (measured
+            # ~25 ms through the axon tunnel vs 2 ms of device compute)
+            try:
+                out["scal"].copy_to_host_async()
+            except AttributeError:
+                pass
+        self._pending = dict(out=out, feats=feats, ts=timestamp,
+                             R_pred=R_pred, t_pred=t_pred,
+                             ur=self._frame_ur, depth=self._frame_depth)
+        return PENDING
+
+    def settle(self):
+        """Public: finalize any pipelined frame so state/pose reflect the
+        last processed frame (used by tests and the System accessors)."""
+        self._finalize_pending()
+
+    def _finalize_pending(self):
+        """Consume the deferred outcome of the previous fused tracking
+        step: state machine, motion model, stats, keyframe decision,
+        trajectory record. Runs at the next frame boundary (or before any
+        operation that needs the up-to-date tracker state)."""
+        p = getattr(self, "_pending", None)
+        if p is None:
+            return
+        self._pending = None
+        out, feats, timestamp = p["out"], p["feats"], p["ts"]
+        # restore the pending frame's depth bindings for KF packaging
+        # (the current frame overwrites these after finalize returns)
+        self._frame_ur = p["ur"]
+        self._frame_depth = p["depth"]
+        cfg = self.cfg
+        scal = np.asarray(out["scal"])
+        n_inliers = int(scal[0])
+        vel_poisoned = bool(scal[1])
+        self.last_inliers = n_inliers
+
+        if n_inliers < cfg.min_inliers:
+            self.lost_count += 1
+            self.state = RECENTLY_LOST if self.lost_count < 5 else LOST
+            self.last = {"R": p["R_pred"], "t": p["t_pred"], "feats": feats,
+                         "ts": timestamp}
+            self.velocity = None
+            self._tracked_lms = None
+            self._vi_prior = None
+            ok = self._try_relocalize(feats)
+            if not ok and self.state == LOST and self._n_kf_cache() >= 10:
+                self._mapper_barrier()
+                self.map = atlas_ops.create_map(self.map)
+                self._map_version += 1
+                self._mapper_stale = True
+                self.state = NOT_INITIALIZED
+                self.init_ref = None
+                self.last_kf_row = -1
+            self._record_frame(timestamp, ok)
+            return
+
+        self.lost_count = 0
+        self.state = OK
+        self.velocity = None if vel_poisoned else (out["Rv"], out["tv"])
+        self.last = {"R": out["R"], "t": out["t"], "feats": feats,
+                     "ts": timestamp}
+        self.frames_since_kf += 1
+        self._tracked_lms = out["tracked"]
+        self._last_feat_lm = out["feat_lm"]
+        self._feat_lm = out["feat_lm"]
+        if self._use_async():
+            self._stat_vis = (out["vis32"] if self._stat_vis is None
+                              else self._stat_vis + out["vis32"])
+            self._stat_found = (out["fnd32"] if self._stat_found is None
+                                else self._stat_found + out["fnd32"])
+        else:
+            self.map = dataclasses.replace(
+                self.map,
+                lm_visible=self.map.lm_visible + out["vis32"],
+                lm_found=self.map.lm_found + out["fnd32"],
+            )
+
+        with GLOBAL_TIMER.stage("track.kf_decision"):
+            need = self._need_new_keyframe(feats, timestamp, n_inliers)
+        if need:
+            if self._use_async():
+                self._request_keyframe(feats, timestamp, n_inliers)
+            else:
+                with GLOBAL_TIMER.stage("track.kf_insert_sync"):
+                    self._insert_keyframe(feats, timestamp, n_inliers)
+        self._record_frame(timestamp, True)
 
     def _need_new_keyframe(self, feats, timestamp, n_inliers) -> bool:
         """Full NeedNewKeyFrame condition set (Tracking.cc:3064-3187):
@@ -920,15 +1158,15 @@ class Tracker:
         if self.mapping_paused:                       # mbOnlyTracking
             return False
         # before inertial initialization: insert on a fixed 0.25 s cadence
-        # so the init window densifies fast (Tracking.cc:3066-3074)
-        last_kf_ts = (
-            float(self.map.kf_timestamp[self.last_kf_row])
-            if self.last_kf_row >= 0 else -1e9
-        )
+        # so the init window densifies fast (Tracking.cc:3066-3074).
+        # last-KF timestamp is a cached host float: reading the device
+        # array here would sync the stream against queued mapper work
+        # every frame (measured 79 ms/frame in the kf_decision bracket)
+        last_kf_ts = self._last_kf_ts()
         if self.imu is not None and not self.imu.initialized:
             return timestamp - last_kf_ts >= 0.25
         # relocalization cooldown (Tracking.cc:3091-3094)
-        n_kfs = int(self.map.n_kf)
+        n_kfs = self._n_kf_cache()
         if (len(self.trajectory) < self._last_reloc_frame + cfg.kf_max_frames
                 and n_kfs > cfg.kf_max_frames):
             return False
@@ -958,13 +1196,19 @@ class Tracker:
         if self.last_kf_row >= 0:
             # nMinObs=3 (2 for tiny maps, Tracking.cc:3097-3099); a
             # single-KF map (depth-sensor init) can only have 1-obs
-            # landmarks — min_obs=1 keeps c2 satisfiable there
+            # landmarks — min_obs=1 keeps c2 satisfiable there.
+            # Cached per (map version, ref KF): the count only changes
+            # when the map does, and the int() fetch syncs the stream.
             min_obs = 3 if n_kfs > 2 else min(n_kfs, 2)
-            ref_matches = max(int(_ref_tracked_map_points(
-                self.map.kf_feat_lm, self.map.kf_feat_valid,
-                self.map.kf_valid, self.map.lm_valid,
-                jnp.int32(self.last_kf_row), min_obs,
-            )), 1)
+            key = (self._map_version, self.last_kf_row, min_obs)
+            if getattr(self, "_ref_matches_cache", (None,))[0] != key:
+                self._ref_matches_cache = (key, max(int(
+                    _ref_tracked_map_points(
+                        self.map.kf_feat_lm, self.map.kf_feat_valid,
+                        self.map.kf_valid, self.map.lm_valid,
+                        jnp.int32(self.last_kf_row), min_obs,
+                    )), 1))
+            ref_matches = self._ref_matches_cache[1]
         else:
             ref_matches = max(self.last_kf_inliers, 1)
         th_ratio = cfg.kf_tracked_ratio if n_kfs >= 2 else 0.4
@@ -1231,6 +1475,23 @@ class Tracker:
             feat_ur=self._frame_ur, feat_depth=self._frame_depth,
             n_inliers=n_inliers,
         )
+        if self.imu is None:
+            # visual-only sync path: same fused stage pipeline as the
+            # background mapper (pre -> chunked BA -> post)
+            s, kf, ba_rows, n_fixed = pipeline.run_pre_stage(
+                s, pkg, cfg, self.base_sensor, self.last_kf_row,
+                self.scale_factors,
+            )
+            s = pipeline.run_visual_ba(
+                s, cfg, self.scale_factors, ba_rows, n_fixed,
+                self.base_sensor,
+            )
+            s = pipeline.map_stage_post(
+                s, ba_rows, jnp.asarray(cfg.local_window + 4, jnp.int32)
+            )
+            self.map = s
+            self._finish_keyframe(kf, n_inliers)
+            return
         s, kf = pipeline.insert_keyframe_pkg(
             s, pkg, cfg, self.base_sensor, self.last_kf_row
         )
@@ -1331,6 +1592,14 @@ class Tracker:
                 self.last["R"] = s.kf_R[kf]
                 self.last["t"] = s.kf_t[kf]
 
+        self.map = s
+        self._finish_keyframe(kf, n_inliers)
+
+    def _finish_keyframe(self, kf: int, n_inliers: int):
+        """Common tail of synchronous keyframe insertion: background-GBA
+        reconciliation, loop/merge detection, pose refresh, bookkeeping."""
+        cfg = self.cfg
+        s = self.map
         # a previously launched background GBA that finished: merge its
         # result into the live map (RunGlobalBundleAdjustment catch-up,
         # LoopClosing.cc:2320-2494)
@@ -1426,8 +1695,10 @@ class Tracker:
                 oks.append(False)
                 continue
             Rk, tk = kf_R[f.ref_kf], kf_t[f.ref_kf]
-            R = f.R_rel @ Rk
-            t = f.R_rel @ tk + f.t_rel
+            R_rel = np.asarray(f.R_rel)
+            t_rel = np.asarray(f.t_rel)
+            R = R_rel @ Rk
+            t = R_rel @ tk + t_rel
             Rs.append(R)
             tts.append(t)
             oks.append(f.ok)

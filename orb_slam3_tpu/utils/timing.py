@@ -22,6 +22,10 @@ class StageTimer:
 
     @contextlib.contextmanager
     def stage(self, name: str):
+        """Bracket a stage. NOTE: jitted calls return before the device
+        finishes (async dispatch); per-stage numbers attribute HOST time.
+        Stages whose output feeds the next host decision block anyway; for
+        pure device chains use `sync` on the stage's outputs."""
         if not self.enabled:
             yield
             return
@@ -29,6 +33,23 @@ class StageTimer:
         try:
             yield
         finally:
+            self.samples[name].append((time.perf_counter() - t0) * 1000.0)
+
+    @contextlib.contextmanager
+    def stage_sync(self, name: str, out: list):
+        """Like stage(), but blocks on the arrays appended to `out` before
+        closing the bracket (honest device time on TPU)."""
+        if not self.enabled:
+            yield
+            return
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            if out:
+                import jax
+
+                jax.block_until_ready(out)
             self.samples[name].append((time.perf_counter() - t0) * 1000.0)
 
     def summary(self) -> dict:

@@ -130,6 +130,7 @@ def test_system_facade_runs(tmp_path):
         K=K, img_wh=(512, 384), sensor="rgbd", bf=35.0, th_depth=20.0,
         orb=orb_mod.OrbConfig(n_features=500, n_levels=3),
         kmax=16, lmax=2048, local_window=4,
+        deterministic_mapping=True,
     )
     sys_ = system.System(config=cfg)
     scene = PlaneScene(np.array(K), img_wh=(512, 384), seed=9)
@@ -159,6 +160,7 @@ def test_change_dataset_and_timestamp_jump(tmp_path):
         K=K, img_wh=(512, 384), sensor="rgbd", bf=35.0, th_depth=20.0,
         orb=orb_mod.OrbConfig(n_features=500, n_levels=3),
         kmax=16, lmax=2048, local_window=4,
+        deterministic_mapping=True,
     )
     sys_ = system.System(config=cfg)
     scene = PlaneScene(np.array(K), img_wh=(512, 384), seed=9)

@@ -32,6 +32,7 @@ def _tracked_map(n=12):
     for i in range(n):
         img, depth = scene.render_with_depth(R_gt[i], t_gt[i])
         t.process(img, i * 0.05, depth_map=depth)
+    t.settle()
     assert t.state == trk.OK
     return t
 

@@ -25,6 +25,7 @@ def _tracker_with_vocab(scene, sensor="rgbd", kf_max_frames=5):
         K=K, img_wh=IMG_WH, sensor=sensor, bf=35.0, th_depth=20.0,
         orb=orb_mod.OrbConfig(n_features=600, n_levels=4),
         kmax=64, lmax=8192, local_window=6, kf_max_frames=kf_max_frames,
+        deterministic_mapping=True,
     )
     t = trk.Tracker(cfg)
     # train the vocabulary on scene imagery (offline-vocab stand-in)
@@ -46,6 +47,7 @@ def test_relocalization_after_blackout():
     for i in range(n):
         img, depth = scene.render_with_depth(R_gt[i], t_gt[i])
         t.process(img, i * 0.05, depth_map=depth)
+    t.settle()
     assert t.state == trk.OK
     n_kf_before = int(t.map.n_kf)
     assert n_kf_before >= 2
@@ -54,11 +56,13 @@ def test_relocalization_after_blackout():
     blank = np.zeros((IMG_WH[1], IMG_WH[0]), np.float32)
     for j in range(3):
         t.process(blank, (n + j) * 0.05, depth_map=np.ones_like(blank))
+    t.settle()
     assert t.state in (trk.RECENTLY_LOST, trk.LOST)
 
     # resume near frame 6's viewpoint -> must relocalize into the SAME map
     img, depth = scene.render_with_depth(R_gt[6], t_gt[6])
     t.process(img, (n + 4) * 0.05, depth_map=depth)
+    t.settle()
     assert t.state == trk.OK, f"state={t.state}"
     est_c = evaluate.camera_centers(
         np.array(t.last["R"])[None], np.array(t.last["t"])[None]

@@ -33,6 +33,7 @@ def test_distributed_gba_on_tracked_map():
     for i in range(n):
         img, depth = scene.render_with_depth(R_gt[i], t_gt[i])
         t.process(img, i * 0.05, depth_map=depth)
+    t.settle()
     assert t.state == trk.OK
 
     s = t.map

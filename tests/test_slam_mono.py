@@ -31,6 +31,7 @@ def run_slam(n_frames=40, two_planes=True, seed=0):
         kmax=32,
         lmax=4096,
         local_window=6,
+        deterministic_mapping=True,
     )
     t = trk.Tracker(cfg)
     for i in range(n_frames):

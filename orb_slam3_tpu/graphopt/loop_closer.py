@@ -168,7 +168,7 @@ class LoopCloser:
         for k in range(int(s.n_kf)):
             if not valid[k]:
                 continue
-            bow = vocab_mod.bow_vector(
+            bow = vocab_mod.sparse_bow(
                 self.voc, s.kf_feat_desc[k], s.kf_feat_valid[k]
             )
             self.db = self.db.add(k, bow)
@@ -177,7 +177,7 @@ class LoopCloser:
     def on_keyframe(self, s: atlas_state.MapState, kf_row: int, kind: int, K8):
         """NewDetectCommonRegions + correction. Returns (state, closed)."""
         cfg = self.cfg
-        bow = vocab_mod.bow_vector(
+        bow = vocab_mod.sparse_bow(
             self.voc, s.kf_feat_desc[kf_row], s.kf_feat_valid[kf_row]
         )
         W = atlas_state.covisibility_weights(s)

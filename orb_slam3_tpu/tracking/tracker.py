@@ -465,7 +465,7 @@ class Tracker:
         cfg = self.cfg
         s = self.map
         voc = self.loop_closer.voc
-        bow = vocab_mod.bow_vector(voc, feats.descriptors, feats.valid)
+        bow = vocab_mod.sparse_bow(voc, feats.descriptors, feats.valid)
         idx, vals, ok = recognition.reloc_candidates(self.loop_closer.db, bow)
         L = s.lmax
         for cand, okc in zip(np.array(idx), np.array(ok)):
@@ -490,12 +490,19 @@ class Tracker:
             )
             if int(n_inl) < 20:
                 continue
-            # refine with motion-only BA against the matched landmarks
             inv_sig2 = 1.0 / (
                 self.scale_factors[
                     jnp.clip(feats.octave, 0, cfg.orb.n_levels - 1)
                 ]
                 ** 2
+            )
+            # maximum-likelihood refinement on bearing residuals with
+            # octave covariances (the reference's MLPnP role,
+            # MLPnPsolver.cpp:73 — materially more robust than the DLT
+            # hypothesis at reloc-grade noise), then pixel-domain
+            # motion-only BA polish (Tracking.cc:3695)
+            R, t, inl, _ = recognition.mlpnp_refine(
+                cfg.kind, cfg.K, R, t, feats.xy, Xw, inv_sig2, valid
             )
             R, t, inl2, n2 = track_mod.pose_optimize(
                 cfg.kind, cfg.K, R, t, feats.xy, Xw, inv_sig2, inl
@@ -611,6 +618,7 @@ class Tracker:
         Tracking.cc:2662). Biases survive as priors for the next inertial
         initialization (the reference keeps mLastBias); everything else
         restarts."""
+        self._finalize_pending()
         verbose.print_mess(
             "Timestamp discontinuity: creating new map in Atlas",
             verbose.VERBOSITY_NORMAL,
@@ -622,11 +630,13 @@ class Tracker:
     def _reset_active_map(self):
         """Discard the active map and restart (Tracking::ResetActiveMap,
         Tracking.cc:3840 — bad-IMU bail-out and young-map loss)."""
+        self._finalize_pending()
         self._mapper_barrier()
         self.map = atlas_ops.reset_active_map(self.map)
         self._restart_in_fresh_map()
 
     def _restart_in_fresh_map(self):
+        self._pending = None  # a pending frame belongs to the old map
         self._map_version += 1
         self._mapper_stale = True
         self.state = NOT_INITIALIZED
@@ -888,6 +898,15 @@ class Tracker:
 
         in_map = self._local_map_mask(s)
 
+        # localization-only mode with a depth sensor: augment tracking with
+        # temporal visual-odometry points so map-sparse regions survive
+        # (Tracking::UpdateLastFrame VO points, Tracking.cc:2788-2851)
+        if (self.mapping_paused and self.base_sensor != "mono"
+                and self._frame_depth is not None):
+            return self._track_frame_localization(
+                feats, timestamp, s, in_map, R_pred, t_pred
+            )
+
         # fused single-jit tracking step for the visual (non-VI) case:
         # stage-1/retry/stage-2/ref-KF-fallback in ONE compiled program
         # with a single host fetch (see track.track_frame_visual)
@@ -1030,6 +1049,86 @@ class Tracker:
                 jnp.asarray(self.last_kf_row, jnp.int32),
             ))
         return self._local_mask_cache[1]
+
+    def _track_frame_localization(self, feats, timestamp, s, in_map,
+                                  R_pred, t_pred) -> bool:
+        """mbOnlyTracking with stereo/RGB-D: per-frame pose against the
+        (frozen) map PLUS temporal visual-odometry points unprojected from
+        the previous frame's depth (Tracking.cc:2788-2851) — the map never
+        grows in this mode, so sparse regions would otherwise starve the
+        pose optimizer. VO points live one frame."""
+        cfg = self.cfg
+        sf = self.scale_factors
+        R1, t1, _, n1 = self._match_and_optimize(
+            s, feats, R_pred, t_pred, in_map, cfg.match_radius_coarse
+        )
+        idx, ok, visible, _, mdist = track_mod.match_local_map(
+            cfg.kind, cfg.K, R1, t1,
+            s.lm_pos, s.lm_desc, in_map,
+            s.lm_max_dist, s.lm_min_dist, s.lm_normal,
+            feats.xy, feats.descriptors, feats.octave, feats.valid,
+            cfg.match_radius_fine, sf,
+            img_wh=(float(cfg.img_wh[0]), float(cfg.img_wh[1])),
+        )
+        uv_all = feats.xy[idx]
+        X_all = s.lm_pos
+        inv_all = 1.0 / (
+            sf[jnp.clip(feats.octave[idx], 0, cfg.orb.n_levels - 1)] ** 2
+        )
+        ok_all = ok
+        vo = getattr(self, "_vo_buffer", None)
+        if vo is not None:
+            vo_pos, vo_desc, vo_valid = vo
+            Fv = vo_pos.shape[0]
+            vidx, vok, _, _, _ = track_mod.match_local_map(
+                cfg.kind, cfg.K, R1, t1,
+                vo_pos, vo_desc, vo_valid,
+                jnp.full((Fv,), 1e6), jnp.zeros((Fv,)), jnp.zeros((Fv, 3)),
+                feats.xy, feats.descriptors, feats.octave, feats.valid,
+                cfg.match_radius_fine, sf,
+                img_wh=(float(cfg.img_wh[0]), float(cfg.img_wh[1])),
+            )
+            uv_all = jnp.concatenate([uv_all, feats.xy[vidx]])
+            X_all = jnp.concatenate([X_all, vo_pos])
+            inv_all = jnp.concatenate([inv_all, 1.0 / (
+                sf[jnp.clip(feats.octave[vidx], 0, cfg.orb.n_levels - 1)]
+                ** 2)])
+            ok_all = jnp.concatenate([ok, vok])
+        R2, t2, inlier, n2 = track_mod.pose_optimize(
+            cfg.kind, cfg.K, R1, t1, uv_all, X_all, inv_all, ok_all
+        )
+        R2 = lie.normalize_rotation(R2)
+        # MAP inliers decide tracking health (VO points only stabilize)
+        n_map = int(jnp.sum(inlier[: s.lmax]))
+        n_inliers = int(n2)
+        self.last_inliers = n_inliers
+
+        # refresh the VO buffer from THIS frame for the next one
+        depth = self._frame_depth
+        th_m = cfg.bf * cfg.th_depth / float(np.asarray(cfg.K)[0])
+        fresh = (feats.valid & (depth > cfg.min_depth) & (depth < th_m))
+        rays = cam.unproject(cfg.kind, cfg.K, feats.xy)
+        Xc = rays * depth[:, None]
+        Rw, tw = lie.se3_inv(R2, t2)
+        self._vo_buffer = (lie.se3_apply(Rw, tw, Xc), feats.descriptors,
+                          fresh)
+
+        if n_inliers < cfg.min_inliers:
+            self.lost_count += 1
+            self.state = RECENTLY_LOST if self.lost_count < 5 else LOST
+            self.last = {"R": R_pred, "t": t_pred, "feats": feats,
+                         "ts": timestamp}
+            self.velocity = None
+            self._tracked_lms = None
+            return bool(self._try_relocalize(feats))
+        self.lost_count = 0
+        self.state = OK
+        Rl_inv, tl_inv = lie.se3_inv(self.last["R"], self.last["t"])
+        Rv, tv = lie.se3_mul(R2, t2, Rl_inv, tl_inv)
+        self.velocity = (lie.normalize_rotation(Rv), tv)
+        self.last = {"R": R2, "t": t2, "feats": feats, "ts": timestamp}
+        self._tracked_lms = inlier[: s.lmax]
+        return True
 
     def _track_frame_fused(self, feats, timestamp, s, in_map,
                            R_pred, t_pred, R_last, t_last) -> bool:

@@ -72,12 +72,12 @@ class TestVocab:
         for sc in scenes:
             for i in (0, 2):
                 f = _frame_descs(sc, R_gt[i], t_gt[i], cfg)
-                db = db.add(row, vocab.bow_vector(voc, f.descriptors, f.valid))
+                db = db.add(row, vocab.sparse_bow(voc, f.descriptors, f.valid))
                 row += 1
 
         # query: a new view of scene index 1 (rows 2, 3)
         fq = _frame_descs(scenes[1], R_gt[1], t_gt[1], cfg)
-        bq = vocab.bow_vector(voc, fq.descriptors, fq.valid)
+        bq = vocab.sparse_bow(voc, fq.descriptors, fq.valid)
         idx, vals, ok = recognition.reloc_candidates(db, bq)
         assert bool(ok[0])
         assert int(idx[0]) in (2, 3), (np.array(idx), np.array(vals))
@@ -181,12 +181,18 @@ def test_loop_candidates_group_accumulation():
     n_words = 4
     db = recognition.KeyframeDB.empty(K, n_words)
     # hand-crafted BoW rows (L1-normalized)
-    q = jnp.asarray([0.5, 0.5, 0.0, 0.0])
+    def sb(dense):
+        dense = jnp.asarray(dense)
+        ids = jnp.where(dense > 0, jnp.arange(n_words, dtype=jnp.int32),
+                        n_words)
+        return vocab.SparseBow(ids=ids, vals=jnp.where(dense > 0, dense, 0.0))
+
+    q = sb([0.5, 0.5, 0.0, 0.0])
     rows = {
-        0: jnp.asarray([0.45, 0.45, 0.10, 0.0]),  # group A anchor (modest)
-        1: jnp.asarray([0.50, 0.50, 0.0, 0.0]),   # group A member (perfect)
-        2: jnp.asarray([0.40, 0.40, 0.20, 0.0]),  # group A member (good)
-        5: jnp.asarray([0.48, 0.46, 0.06, 0.0]),  # isolated, higher direct
+        0: sb([0.45, 0.45, 0.10, 0.0]),  # group A anchor (modest)
+        1: sb([0.50, 0.50, 0.0, 0.0]),   # group A member (perfect)
+        2: sb([0.40, 0.40, 0.20, 0.0]),  # group A member (good)
+        5: sb([0.48, 0.46, 0.06, 0.0]),  # isolated, higher direct
     }
     for r, b in rows.items():
         db = db.add(r, b)
@@ -208,3 +214,79 @@ def test_loop_candidates_group_accumulation():
         db, q, query_kf=7, covis_row=covis_row, min_covis_score=0.0,
     )
     assert bool(ok2[0]) and int(idx2[0]) in (1, 5)
+
+
+def test_sparse_bow_scales_to_orbvoc_size():
+    """VERDICT r2 #8: BoW memory must be O(features), not O(words). A
+    100k-word synthetic vocabulary (ORBvoc is 1M) must transform, store,
+    and score without dense [W] per-keyframe vectors."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    k, L = 10, 5                      # 10^5 words
+    n_total = sum(k ** (l + 1) for l in range(L))
+    voc = vocab.Vocabulary(
+        centers=jnp.asarray(rng.integers(0, 256, (n_total, 32)), np.uint8),
+        weights=jnp.ones((k ** L,), jnp.float32),
+        branching=k, depth=L,
+    )
+    F = 300
+    descs = jnp.asarray(rng.integers(0, 256, (F, 32)), np.uint8)
+    valid = jnp.ones((F,), bool)
+    b = vocab.sparse_bow(voc, descs, valid)
+    assert b.ids.shape == (F,)                      # O(features) memory
+    assert abs(float(b.vals.sum()) - 1.0) < 1e-5    # L1-normalized
+    db = recognition.KeyframeDB.empty(8, voc.n_words, slots=F)
+    db = db.add(0, b)
+    # identical frame scores ~1.0 against itself; a random frame scores low
+    s_self = float(recognition.query(db, b)[0])
+    other = vocab.sparse_bow(
+        voc, jnp.asarray(rng.integers(0, 256, (F, 32)), np.uint8), valid
+    )
+    s_other = float(recognition.query(db, other)[0])
+    assert s_self > 0.99, s_self
+    assert s_other < 0.5 * s_self, (s_self, s_other)
+
+
+def test_mlpnp_refine_beats_dlt_under_noise():
+    """VERDICT r2 #9: the ML bearing refinement with octave covariances
+    must beat the raw DLT-RANSAC pose under reloc-grade noise."""
+    import jax
+    import jax.numpy as jnp
+    from orb_slam3_tpu.ops import lie
+
+    key = jax.random.PRNGKey(0)
+    n = 150
+    X = jnp.concatenate([
+        jax.random.uniform(key, (n, 2), minval=-3, maxval=3),
+        jax.random.uniform(jax.random.PRNGKey(1), (n, 1), minval=4, maxval=9),
+    ], axis=-1)
+    R_gt, t_gt = lie.se3_exp(jnp.array([0.2, -0.1, 0.15, 0.05, -0.1, 0.02]))
+    uv = cam.pinhole_project(K, lie.se3_apply(R_gt, t_gt, X))
+    # octave-dependent noise: coarse octaves are noisier
+    octave = jax.random.randint(jax.random.PRNGKey(3), (n,), 0, 4)
+    sig = 0.6 * (1.2 ** octave.astype(jnp.float32))
+    uv = uv + sig[:, None] * jax.random.normal(jax.random.PRNGKey(2),
+                                               uv.shape)
+    # 20% outliers
+    out_mask = jax.random.uniform(jax.random.PRNGKey(4), (n,)) < 0.2
+    uv = jnp.where(out_mask[:, None],
+                   jax.random.uniform(jax.random.PRNGKey(5), uv.shape,
+                                      minval=0, maxval=500), uv)
+    valid = jnp.ones((n,), bool)
+    inv_sig2 = 1.0 / sig ** 2
+
+    def pose_err(R, t):
+        c = -np.array(R).T @ np.array(t)
+        c_gt = -np.array(R_gt).T @ np.array(t_gt)
+        return float(np.linalg.norm(c - c_gt))
+
+    R0, t0, inl, n_inl = recognition.pnp_ransac(
+        jax.random.PRNGKey(7), cam.PINHOLE, K, uv, X, valid)
+    e_dlt = pose_err(R0, t0)
+    R1, t1, inl1, n1 = recognition.mlpnp_refine(
+        cam.PINHOLE, K, R0, t0, uv, X, inv_sig2, valid)
+    e_ml = pose_err(R1, t1)
+    assert int(n1) > 60
+    assert e_ml < e_dlt * 0.8, (e_dlt, e_ml)
+    assert e_ml < 0.05, e_ml

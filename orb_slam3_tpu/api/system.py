@@ -84,6 +84,7 @@ class System:
 
         if self._resize is not None:
             img = self._resize(img)
+        self._last_img = img  # for the live viewer's frame drawer
         with GLOBAL_TIMER.stage("track.process_total"):
             self.tracker.process(img, timestamp, imu=imu)
         with GLOBAL_TIMER.stage("track.pose_return"):
@@ -96,6 +97,7 @@ class System:
             img_left, img_right = self.rectifier(img_left, img_right)
         if self._resize is not None:
             img_left, img_right = self._resize(img_left), self._resize(img_right)
+        self._last_img = img_left
         self.tracker.process(img_left, timestamp, img_right=img_right,
                              imu=imu)
         return self.current_pose(settle=False)
@@ -104,6 +106,7 @@ class System:
         """System::TrackRGBD (System.cc:328)."""
         if self._resize is not None:
             img, depth = self._resize(img), self._resize(depth)
+        self._last_img = img
         self.tracker.process(img, timestamp, depth_map=depth, imu=imu)
         return self.current_pose(settle=False)
 
@@ -228,7 +231,11 @@ class System:
     def shutdown(self):
         """System::Shutdown (System.cc:515): drain the background mapper,
         join the background global-BA campaign if one is running and fold
-        its result into the map."""
+        its result into the map (and stop the live viewer if attached)."""
+        v = getattr(self, "_viewer", None)
+        if v is not None:
+            v.stop()
+            self._viewer = None
         t = self.tracker
         t.sync_mapping()
         m = t.async_mapper
@@ -243,3 +250,13 @@ class System:
             m.stop()
             t.async_mapper = None
         t.gba = None
+
+    def start_viewer(self, port: int = 8090, refresh_s: float = 1.0):
+        """Start the live HTTP viewer (the Viewer-thread role,
+        /root/reference/src/Viewer.cc:162 — see api/viewer.py). Returns the
+        LiveViewer; stop() it or let shutdown() do so."""
+        from .viewer import LiveViewer
+
+        self._viewer = LiveViewer(self, port=port, refresh_s=refresh_s)
+        self._viewer.start()
+        return self._viewer

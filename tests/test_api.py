@@ -196,3 +196,42 @@ def test_settings_resize_scales_calibration(tmp_path):
     img = np.random.default_rng(0).uniform(0, 255, (480, 752))
     sys_.track_monocular(img, 0.05)   # runs through the resize path
     assert sys_.tracker.cfg.img_wh == (600, 350)
+
+
+def test_live_viewer_serves_map_and_stats():
+    """Live HTTP viewer (the Viewer-thread role, Viewer.cc:162): serves
+    stats, the top-down map render, and the frame overlay while a session
+    runs; localization-mode command works."""
+    import json as json_mod
+    import urllib.request
+
+    from synthetic_scene import PlaneScene, orbit_trajectory
+    from orb_slam3_tpu.frontend import orb as orb_mod
+    from orb_slam3_tpu.tracking import tracker as trk
+
+    K = cam.make_pinhole(350.0, 350.0, 256.0, 192.0)
+    cfg = trk.TrackerConfig(
+        K=K, img_wh=(512, 384), sensor="rgbd", bf=35.0, th_depth=20.0,
+        orb=orb_mod.OrbConfig(n_features=400, n_levels=3),
+        kmax=16, lmax=2048, local_window=4, deterministic_mapping=True,
+    )
+    sys_ = system.System(config=cfg)
+    viewer = sys_.start_viewer(port=0)  # ephemeral port
+    scene = PlaneScene(np.array(K), img_wh=(512, 384), seed=11)
+    R_gt, t_gt = orbit_trajectory(6)
+    for i in range(6):
+        img, depth = scene.render_with_depth(R_gt[i], t_gt[i])
+        sys_.track_rgbd(img, depth, i * 0.05)
+    base = f"http://127.0.0.1:{viewer.port}"
+    stats = json_mod.loads(urllib.request.urlopen(base + "/stats.json",
+                                                  timeout=10).read())
+    assert stats["state"] == "OK" and stats["n_keyframes"] >= 1
+    png = urllib.request.urlopen(base + "/map.png", timeout=30).read()
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    frame = urllib.request.urlopen(base + "/frame.png", timeout=30).read()
+    assert frame[:8] == b"\x89PNG\r\n\x1a\n"
+    urllib.request.urlopen(base + "/cmd?localization=1", timeout=10).read()
+    assert sys_.localization_only
+    page = urllib.request.urlopen(base, timeout=10).read()
+    assert b"live session" in page
+    sys_.shutdown()

@@ -205,7 +205,13 @@ class LoopCloser:
             cs = np.array(jnp.where(covis & self.db.valid, covis_scores, jnp.nan))
             min_score = float(np.nanmin(cs)) if np.any(~np.isnan(cs)) else 0.0
 
-            recent = jnp.arange(s.kmax) > (kf_row - cfg.min_temporal_gap)
+            # row index stands in for recency only WITHIN a map: rows of a
+            # different map (e.g. shipped across hosts and appended at high
+            # row numbers, multihost.HostedAtlas.ship_map) are never
+            # "recent" — the reference's gate is connectivity, not time
+            # (KeyFrameDatabase.cc:604 excludes spConnectedKeyFrames only)
+            recent = (jnp.arange(s.kmax) > (kf_row - cfg.min_temporal_gap)) \
+                & (s.kf_map_id == s.kf_map_id[kf_row])
             idx, vals, ok = recognition.loop_candidates(
                 self.db, bow, kf_row, connected | recent, min_score,
                 covis_W=W,

@@ -82,8 +82,13 @@ def make_dist_ba_step(mesh: Mesh, residual, cam_retract, C: int,
 
     residual(cam_state, x [3], data={"uv": [2], "K": [8]}) -> [2]
     cam_state is a pytree of per-camera arrays (replicated).
+
+    Multi-axis meshes (e.g. ("host", "dev") from multihost.two_level_mesh)
+    shard the landmark axis over ALL mesh axes; `psum` over the axis tuple
+    reduces innermost-first, so on a real pod the reduced camera system is
+    summed over ICI ("dev") before the single cross-host DCN hop ("host").
     """
-    axis = mesh.axis_names[0]
+    axis = mesh.axis_names if len(mesh.axis_names) > 1 else mesh.axis_names[0]
 
     def shard_fn(cam_state, cam_fixed, K8, lam,
                  points, point_fixed, cam_idx, lm_idx, uv, info, mask):
@@ -137,7 +142,10 @@ def make_dist_ba_step(mesh: Mesh, residual, cam_retract, C: int,
         # invisible in f32 against curvature ~ fx^2 * n_obs
         Hll = jnp.zeros((Lp, 3, 3)).at[lm_idx].add(Hll_e)
         dHll = jnp.diagonal(Hll, axis1=-2, axis2=-1)
-        floor_l = 1e-6 * jnp.maximum(jax.lax.psum(jnp.max(dHll), axis), 1.0)
+        # global max (pmax, NOT psum — summing per-shard maxima made the
+        # damping floor scale with device count, so 1-dev and N-dev solves
+        # followed different LM trajectories)
+        floor_l = 1e-6 * jnp.maximum(jax.lax.pmax(jnp.max(dHll), axis), 1.0)
         Hll = Hll + jax.vmap(jnp.diag)(lam * dHll + floor_l)
         Hll = jnp.where(point_fixed[:, None, None], jnp.eye(3)[None], Hll)
         Hll_inv = jnp.linalg.inv(Hll)
@@ -187,7 +195,7 @@ def make_dist_cost_fn(mesh: Mesh, residual, huber_delta: float | None):
     """Residual-only cost over the mesh — the cheap candidate evaluation
     for the LM accept test (no Jacobians, no Schur: one LM iteration does
     ONE linearization, per VERDICT r2 weak #4)."""
-    axis = mesh.axis_names[0]
+    axis = mesh.axis_names if len(mesh.axis_names) > 1 else mesh.axis_names[0]
 
     def shard_fn(cam_state, K8, points, cam_idx, lm_idx, uv, info, mask):
         Ep = cam_idx.shape[0]

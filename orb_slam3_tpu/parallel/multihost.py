@@ -45,14 +45,13 @@ def init_distributed(coordinator: str | None = None,
     """Initialize jax.distributed for a real multi-host launch (no-op when
     already initialized or single-process). On Cloud TPU the arguments are
     auto-detected from the environment."""
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
-    except RuntimeError:
-        pass  # already initialized (or single-process local run)
+    if jax.distributed.is_initialized():
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
 
 
 def two_level_mesh(n_hosts: int, devs_per_host: int) -> Mesh:
@@ -65,37 +64,56 @@ def two_level_mesh(n_hosts: int, devs_per_host: int) -> Mesh:
 
 
 def dist_gba_two_level(s: MapState, K8, mesh: Mesh, kind: int = 0,
-                       num_iters: int = 10, scale_factors=None):
+                       n_fixed: int = 2, num_iters: int = 10,
+                       huber_delta: float | None = 5.991 ** 0.5,
+                       cam_bucket: int = 8, edge_bucket: int = 1024):
     """Global BA with the landmark axis sharded over host x dev.
 
     Identical math to map_ba.distributed_global_ba, but the landmark shards
-    span BOTH mesh axes and the reduced-camera-system `psum` is staged
-    ("dev" then "host") so per-iteration DCN traffic is one [KC, KC]
-    matrix + [KC] vector per host, not per device."""
-    n_hosts, devs_per_host = mesh.devices.shape
-    n_shards = n_hosts * devs_per_host
+    span BOTH mesh axes (in_specs P(("host","dev"))) and the
+    reduced-camera-system `psum` runs over the axis tuple — innermost
+    ("dev", ICI) first, then "host" (DCN) — so per-iteration DCN traffic is
+    one [KC, KC] matrix + [KC] vector per host, not per device.
 
-    (cam_rows, R, t, cam_fixed, points, point_fixed, cam_idx, lm_idx,
-     uv, info, mask) = map_ba.extract_global_problem(s, scale_factors)
+    Returns (new MapState, costs). On too-small maps returns (s, [])."""
+    n_shards = int(np.prod(mesh.devices.shape))
+    kf_rows, cam_idx, lm_idx, uv, info = map_ba.extract_global_problem(s)
+    if len(kf_rows) < 3 or len(cam_idx) == 0:
+        return s, []
 
     sharded = dist_ba.shard_ba_problem(
-        n_shards, points, point_fixed, cam_idx, lm_idx, uv, info, mask,
+        n_shards, np.array(s.lm_pos), ~np.array(s.lm_valid),
+        cam_idx, lm_idx, uv, info, np.ones(len(cam_idx), bool),
+        edge_bucket=edge_bucket,
     )
     res = lm_edges.make_mono_residual(kind)
 
     def ba_residual(cam_state, x, data):
         return res(cam_state, {"x": x}, data)
 
-    # flatten the two mesh axes for the solver but keep the hierarchical
-    # reduction: dist_ba's psum(axis) becomes psum over ("dev", "host") —
-    # nested named axes reduce innermost-first (ICI, then DCN)
-    flat_mesh = Mesh(mesh.devices.reshape(-1), ("lm",))
-    cams_out, pts_out, costs = dist_ba.dist_ba_solve(
-        flat_mesh, ba_residual, lm_edges.se3_retract,
-        {"R": R, "t": t}, cam_fixed, K8, *sharded,
-        num_iters=num_iters, lam0=1e-4,
+    n_real = len(kf_rows)
+    n_pad = -(-n_real // cam_bucket) * cam_bucket - n_real
+    kf_rows_p = np.concatenate([kf_rows, np.full(n_pad, kf_rows[0])])
+    rows_j = jnp.asarray(kf_rows_p, jnp.int32)
+    fixed = (jnp.arange(len(kf_rows_p)) < n_fixed) | (
+        jnp.arange(len(kf_rows_p)) >= n_real
     )
-    return map_ba.writeback(s, cam_rows, cams_out, pts_out), costs
+    cam_state = {"R": s.kf_R[rows_j], "t": s.kf_t[rows_j]}
+    cams_out, pts_out, costs = dist_ba.dist_ba_solve(
+        mesh, ba_residual, lm_edges.se3_retract, cam_state, fixed,
+        jnp.asarray(K8), *sharded, num_iters=num_iters,
+        huber_delta=huber_delta,
+    )
+    L = s.lmax
+    new_points = jnp.asarray(np.asarray(pts_out).reshape(-1, 3)[:L])
+    rows_real = rows_j[:n_real]
+    out = dataclasses.replace(
+        s,
+        kf_R=s.kf_R.at[rows_real].set(cams_out["R"][:n_real]),
+        kf_t=s.kf_t.at[rows_real].set(cams_out["t"][:n_real]),
+        lm_pos=jnp.where(s.lm_valid[:, None], new_points, s.lm_pos),
+    )
+    return out, costs
 
 
 @dataclasses.dataclass
@@ -139,7 +157,10 @@ class HostedAtlas:
         # landmarks first: build row remap old -> new
         n0 = int(dst.n_lm)
         lm_remap = {}
-        dst = dataclasses.replace(dst, active_map=jnp.asarray(map_id))
+        # tag appended rows with the shipped map's id (add_keyframe stamps
+        # active_map); the receiver's own active map is restored below
+        orig_active = dst.active_map
+        dst = dataclasses.replace(dst, active_map=jnp.asarray(map_id, jnp.int32))
         for i, r in enumerate(lm_rows):
             lm_remap[int(r)] = n0 + i
         Xs = np.array(src.lm_pos)[lm_rows]
@@ -195,6 +216,10 @@ class HostedAtlas:
             lm_valid=jnp.asarray(lm_valid2), lm_map_id=jnp.asarray(lm_map),
             lm_first_kf=jnp.asarray(lm_first),
             n_lm=jnp.asarray(n0 + len(Xs), jnp.int32),
+        )
+        dst = dataclasses.replace(
+            dst, active_map=orig_active,
+            n_maps=jnp.maximum(dst.n_maps, jnp.asarray(map_id + 1, jnp.int32)),
         )
         dst = update_landmark_stats(dst)
         # invalidate the shipped rows on the source host

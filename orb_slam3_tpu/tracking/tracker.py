@@ -291,6 +291,34 @@ class Tracker:
         self._finalize_pending()
         self._mapper_barrier()
 
+    def adopt_map(self, s_new):
+        """Replace the canonical MapState of a LIVE session from outside —
+        the supported entry point for cross-host map arrival
+        (parallel/multihost.HostedAtlas.ship_map) and for loading an atlas
+        into a running tracker. The caller must preserve this session's own
+        row indices (ship_map APPENDS foreign rows, so they are).
+
+        Barriers the mapper first so no stale commit can clobber the new
+        arena, then rebinds mapper + loop-closer DB to it (the reference's
+        LoadAtlas -> Atlas::PostLoad KFDB re-add, System.cc:1445-1506)."""
+        self.sync_mapping()
+        assert s_new.kmax >= self.map.kmax and s_new.lmax >= self.map.lmax, \
+            "adopt_map cannot shrink the arena under live tracker state"
+        if s_new.kmax > self.map.kmax or s_new.lmax > self.map.lmax:
+            # grow tracker-side per-landmark buffers to the new capacity
+            raise NotImplementedError(
+                "adopt_map with a grown arena: grow the session arena first"
+            )
+        self.map = s_new
+        self._map_version += 1
+        self._vi_prior = None
+        if self.async_mapper is not None:
+            self.async_mapper.set_state(s_new, self.last_kf_row)
+            self._mapper_stale = False
+        if self.loop_closer is not None:
+            self.loop_closer.pending = None
+            self.loop_closer.rebuild_db(s_new)
+
     # ------------------------------------------------------------------
     # arena capacity management (SURVEY.md §7.1: compaction replaces
     # culling-by-deletion; VERDICT round-1 missing #4)

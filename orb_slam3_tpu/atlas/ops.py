@@ -87,34 +87,28 @@ def add_landmarks(s: MapState, pos, desc, first_kf, new_valid,
     # caller is expected to compact (atlas.compaction) before hitting this.
     fits = new_valid & (rows < L)
     rows = jnp.clip(rows, 0, L - 1)
-    safe_rows = jnp.where(fits, rows, L - 1)
+    # refused/invalid entries scatter to the OUT-OF-BOUNDS index and are
+    # dropped. The previous scheme clamped them onto row L-1 and rewrote
+    # its old values "as a no-op" — but when row L-1 is legitimately
+    # allocated in the SAME call, the duplicate scatter targets resolve
+    # nondeterministically and the stale lm_valid=False could beat the
+    # fresh True while the feature binding still landed: a dead-landmark
+    # observation (caught by atlas.invariants in the compaction-churn e2e).
+    safe_rows = jnp.where(fits, rows, L)
 
-    lm_pos = s.lm_pos.at[safe_rows].set(
-        jnp.where(fits[:, None], pos, s.lm_pos[safe_rows])
-    )
-    lm_desc = s.lm_desc.at[safe_rows].set(
-        jnp.where(fits[:, None], desc, s.lm_desc[safe_rows])
-    )
-    lm_valid = s.lm_valid.at[safe_rows].set(
-        jnp.where(fits, True, s.lm_valid[safe_rows])
-    )
-    lm_map = s.lm_map_id.at[safe_rows].set(
-        jnp.where(fits, s.active_map, s.lm_map_id[safe_rows])
-    )
-    lm_first = s.lm_first_kf.at[safe_rows].set(
-        jnp.where(fits, first_kf, s.lm_first_kf[safe_rows])
-    )
+    lm_pos = s.lm_pos.at[safe_rows].set(pos, mode="drop")
+    lm_desc = s.lm_desc.at[safe_rows].set(desc, mode="drop")
+    lm_valid = s.lm_valid.at[safe_rows].set(True, mode="drop")
+    lm_map = s.lm_map_id.at[safe_rows].set(s.active_map, mode="drop")
+    lm_first = s.lm_first_kf.at[safe_rows].set(first_kf, mode="drop")
     # fresh rows may be reused after compaction: clear stats
-    lm_vis = s.lm_visible.at[safe_rows].set(
-        jnp.where(fits, 0, s.lm_visible[safe_rows])
-    )
-    lm_fnd = s.lm_found.at[safe_rows].set(
-        jnp.where(fits, 0, s.lm_found[safe_rows])
-    )
-    # bind observations
-    kf_feat_lm = s.kf_feat_lm.at[kf_rows, feat_idx].set(
-        jnp.where(fits, rows, s.kf_feat_lm[kf_rows, feat_idx])
-    )
+    lm_vis = s.lm_visible.at[safe_rows].set(0, mode="drop")
+    lm_fnd = s.lm_found.at[safe_rows].set(0, mode="drop")
+    # bind observations (refused entries route to feature index F: dropped)
+    F = s.kf_feat_lm.shape[1]
+    kf_feat_lm = s.kf_feat_lm.at[
+        kf_rows, jnp.where(fits, feat_idx, F)
+    ].set(rows, mode="drop")
     return (
         dataclasses.replace(
             s,

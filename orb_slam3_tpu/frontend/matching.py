@@ -18,6 +18,8 @@ shapes and leaves the VPU free for the masking that follows.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -144,6 +146,7 @@ def search_by_projection(uv_pred, pred_octave, pred_desc, pred_valid,
     return masked_best_match(dist, m, max_dist=max_dist, ratio=ratio)
 
 
+@partial(jax.jit, static_argnames=("window", "ratio", "max_dist"))
 def search_for_initialization(xy0, desc0, valid0, xy1, desc1, valid1,
                               window=100.0, ratio=0.9, max_dist=TH_LOW):
     """Mono-init wide-window matching (SearchForInitialization,

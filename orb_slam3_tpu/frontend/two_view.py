@@ -257,6 +257,8 @@ def _decompose_H(H, K):
     return out
 
 
+@partial(jax.jit,
+         static_argnames=("sigma", "min_triangulated", "min_parallax_deg"))
 def reconstruct(key, p0, p1, valid, K, sigma=1.0,
                 min_triangulated=50, min_parallax_deg=1.0):
     """Full two-view reconstruction.

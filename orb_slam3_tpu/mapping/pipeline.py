@@ -174,13 +174,24 @@ def ba_window(s: atlas_state.MapState, cfg):
 
 
 def run_visual_ba(s: atlas_state.MapState, cfg, scale_factors, rows, n_fixed,
-                  base_sensor: str, iters: int = 8, chunk: int = 4,
+                  base_sensor: str, iters: int = 8, chunk: int = 2,
                   abort_check=None):
     """Windowed local BA, abortable between iteration chunks — the
     `mbAbortBA` preemption contract (`LocalMapping::InsertKeyFrame` sets
     mbAbortBA, `Optimizer.cc:1203-1204` polls it between LM rounds). Each
     completed chunk is a valid (cost-decreasing) state, so a preempted BA
-    commits its partial progress instead of discarding it."""
+    commits its partial progress instead of discarding it.
+
+    In background mode (abort_check set) the mapper BLOCKS on each chunk
+    before dispatching the next: a single device executes work FIFO, so a
+    monolithic BA kernel (~125 ms device) would stall every concurrently
+    dispatched tracking step behind it. Yielding between chunks caps the
+    tracker's worst-case device-queue delay at one chunk; the mapper eats
+    the extra round-trips (it is off the frame critical path). This is the
+    single-chip analogue of the reference running LocalMapping on its own
+    core (System.cc:197)."""
+    import jax
+
     w = cfg.local_window
     done = 0
     while done < iters:
@@ -192,8 +203,10 @@ def run_visual_ba(s: atlas_state.MapState, cfg, scale_factors, rows, n_fixed,
             stereo=(base_sensor != "mono"), bf=cfg.bf,
         )
         done += it
-        if abort_check is not None and done < iters and abort_check():
-            break
+        if abort_check is not None and done < iters:
+            jax.block_until_ready(s.kf_R)   # yield the device queue
+            if abort_check():
+                break
     return s
 
 
@@ -346,10 +359,15 @@ def map_stage_pre(kind: int, K8, s: atlas_state.MapState,
 
 
 def run_pre_stage(s, pkg: KFPackage, cfg, base_sensor: str, parent_row,
-                  scale_factors):
+                  scale_factors, kf_row_host: int | None = None):
     """Host wrapper for map_stage_pre: normalizes optional package fields
     to concrete arrays and static flags. Returns (s, kf_row(int), ba_rows,
-    n_fixed)."""
+    n_fixed).
+
+    kf_row_host: the caller-tracked append position (= n_kf before the
+    insert — the arena is a bump allocator). When given, the kf row is
+    returned without the device fetch that otherwise blocks the caller for
+    a full device round-trip (~40 ms through the tunnel)."""
     L = s.lmax
     F = s.fmax
     with_depth = base_sensor != "mono" and pkg.feat_depth is not None
@@ -373,7 +391,8 @@ def run_pre_stage(s, pkg: KFPackage, cfg, base_sensor: str, parent_row,
         with_depth=with_depth, wnd=cfg.local_window + 4,
         local_window=cfg.local_window,
     )
-    return s, int(kf), ba_rows, n_fixed
+    return s, (int(kf) if kf_row_host is None else kf_row_host), \
+        ba_rows, n_fixed
 
 
 @jax.jit

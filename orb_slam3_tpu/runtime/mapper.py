@@ -65,6 +65,13 @@ class MapCommit:
     big_change: bool            # loop closed / maps merged (re-anchor hard)
     n_loops: int
     n_merges: int
+    # post-adopt host scalars, shipped as ONE device array whose host copy
+    # was started when the commit was published (copy_to_host_async): by
+    # adoption time it has usually arrived, so neither the mapper nor the
+    # tracker pays a blocking device round-trip for them. Layout:
+    # [n_kf, n_lm, ref_matches(min_obs=1), rm(2), rm(3)] int32.
+    stats_arr: Optional[object] = None
+    pkg_ts: Optional[float] = None       # the keyframe's timestamp
 
 
 class AsyncMapper:
@@ -109,6 +116,10 @@ class AsyncMapper:
     def start(self, initial_state: atlas_state.MapState, last_kf_row: int):
         self._state = initial_state
         self._last_kf_row = last_kf_row
+        # host mirror of the keyframe bump allocator: each processed
+        # package appends exactly one row, so the append position is known
+        # without the per-package device fetch (one RTT each, mapper-side)
+        self._host_n_kf = int(initial_state.n_kf)
         self._stop = False
         if self.inline:
             return
@@ -192,6 +203,7 @@ class AsyncMapper:
             assert not self._queue and not self._busy, "set_state while busy"
             self._state = s
             self._version += 1
+            self._host_n_kf = int(s.n_kf)
             if last_kf_row is not None:
                 self._last_kf_row = last_kf_row
 
@@ -241,7 +253,7 @@ class AsyncMapper:
     def _process(self, pkg: pipeline.KFPackage):
         cfg = self.cfg
         s = self._state
-        if int(s.n_kf) >= cfg.kmax - 1:
+        if self._host_n_kf >= cfg.kmax - 1:
             verbose.print_mess(
                 "mapper: keyframe arena full, dropping keyframe",
                 verbose.VERBOSITY_NORMAL,
@@ -255,8 +267,9 @@ class AsyncMapper:
         with T.stage("map.pre"):
             s, kf, ba_rows, n_fixed = pipeline.run_pre_stage(
                 s, pkg, cfg, self.base_sensor, self._last_kf_row,
-                self.scale_factors,
+                self.scale_factors, kf_row_host=self._host_n_kf,
             )
+            self._host_n_kf += 1
 
         # local BA only when the queue is empty (LocalMapping.cc:108-156
         # runs SearchInNeighbors/BA only with no pending KFs) — but
@@ -318,6 +331,26 @@ class AsyncMapper:
         self._state = s
         self._last_kf_row = kf
         self.n_processed += 1
+
+        # compute the tracker's post-adopt host scalars (arena counters +
+        # TrackedMapPoints(minObs) for the new reference KF, KeyFrame.cc:500
+        # — used by NeedNewKeyFrame c2) and START their host copy without
+        # blocking: the tracker resolves it at adoption, by which time it
+        # has usually arrived
+        from ..tracking.tracker import _ref_tracked_map_points
+
+        stats = jnp.stack(
+            [s.n_kf.astype(jnp.int32), s.n_lm.astype(jnp.int32)] + [
+                _ref_tracked_map_points(
+                    s.kf_feat_lm, s.kf_feat_valid, s.kf_valid, s.lm_valid,
+                    jnp.int32(kf), jnp.int32(m),
+                ).astype(jnp.int32)
+                for m in (1, 2, 3)
+            ])
+        try:
+            stats.copy_to_host_async()
+        except AttributeError:
+            pass
         with self._cond:
             self._version += 1
             self._latest = MapCommit(
@@ -326,5 +359,7 @@ class AsyncMapper:
                 big_change=big,
                 n_loops=self.loop_closer.n_loops if self.loop_closer else 0,
                 n_merges=self.loop_closer.n_merges if self.loop_closer else 0,
+                stats_arr=stats,
+                pkg_ts=float(pkg.timestamp),
             )
             self._cond.notify_all()

@@ -405,6 +405,9 @@ def track_frame_visual(kind: int, K, bf,
         R=R2f, t=t2f, n=n2f, tracked=inlier, feat_lm=feat_lm,
         vis32=visible.astype(jnp.int32), fnd32=inlier.astype(jnp.int32),
         Rv=Rv, tv=tv, vel_poisoned=vel_poisoned,
+        # device-side motion-model validity for the NEXT frame's chained
+        # dispatch (software pipeline: the host never reads this)
+        has_vel=(n2f >= min_inliers) & ~vel_poisoned,
         # stacked scalars: ONE host fetch per frame reads both
         scal=jnp.stack([n2f.astype(jnp.int32),
                         vel_poisoned.astype(jnp.int32)]),

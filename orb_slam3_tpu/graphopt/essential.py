@@ -103,9 +103,8 @@ def build_essential_edges(s: MapState, W, min_weight: int = 100,
     kv = np.array(s.kf_valid)
     A |= (Wn >= min_weight)
     parent = np.array(s.kf_parent)
-    for k in range(K):
-        if kv[k] and parent[k] >= 0:
-            A[k, parent[k]] = True
+    rows = np.flatnonzero(kv & (parent >= 0))
+    A[rows, parent[rows]] = True      # spanning-tree edges, vectorized
     A &= kv[:, None] & kv[None, :]
     A = np.triu(A | A.T, 1)  # undirected, deduped
     src, dst = np.nonzero(A)

@@ -93,6 +93,36 @@ def make_mono_pose_only_residual(kind: int):
     return residual
 
 
+def make_tobody_residual(kind: int):
+    """Right-camera reprojection edge for non-rectified (fisheye) stereo:
+    obs_r - project_r(T_rl * T_lw * Xw) with the FIXED left->right
+    extrinsics T_rl (EdgeSE3ProjectXYZToBody,
+    `/root/reference/src/OptimizableTypes.h:59-87` / `.cpp:83-130` — the
+    vertex is the LEFT-camera pose; mTrl composes in front).
+    data = {"uv": [2], "K": [8] (right intrinsics), "R_rl": [3,3],
+    "t_rl": [3]}."""
+
+    def residual(pose, point, data):
+        Xl = lie.se3_apply(pose["R"], pose["t"], point["x"])
+        Xr = data["R_rl"] @ Xl + data["t_rl"]
+        return data["uv"] - cam.project(kind, data["K"], Xr)
+
+    return residual
+
+
+def make_tobody_pose_only_residual(kind: int):
+    """Motion-only variant (EdgeSE3ProjectXYZOnlyPoseToBody,
+    OptimizableTypes.h:59): landmark is data.
+    data = {"uv": [2], "K": [8], "Xw": [3], "R_rl": [3,3], "t_rl": [3]}."""
+
+    def residual(pose, data):
+        Xl = lie.se3_apply(pose["R"], pose["t"], data["Xw"])
+        Xr = data["R_rl"] @ Xl + data["t_rl"]
+        return data["uv"] - cam.project(kind, data["K"], Xr)
+
+    return residual
+
+
 def make_stereo_residual(kind: int):
     """3-dim (uL, v, uR) rectified-stereo residual (g2o EdgeStereoSE3ProjectXYZ,
     used at `/root/reference/src/Optimizer.cc:1325-1352`): uR = uL - bf/z.

@@ -217,6 +217,98 @@ def pose_optimize_stereo(kind: int, K, bf, R0, t0, uv, ur, Xw, inv_sigma2,
     return R, t, mask > 0, jnp.sum(mask > 0)
 
 
+@partial(jax.jit, static_argnames=("kind", "rounds", "iters"))
+def pose_optimize_two_cam(kind: int, K_l, K_r, R_rl, t_rl, R0, t0,
+                          uv_l, Xw_l, info_l, valid_l,
+                          uv_r, Xw_r, info_r, valid_r,
+                          rounds: int = 3, iters: int = 6):
+    """Motion-only BA over TWO physical cameras of a non-rectified stereo
+    rig: left-camera mono edges + right-camera reprojection edges through
+    the fixed extrinsics T_rl (the reference's PoseOptimization with
+    EdgeSE3ProjectXYZOnlyPose + ...ToBody for fisheye stereo,
+    `/root/reference/src/Optimizer.cc:871-977`,
+    `OptimizableTypes.h:31-87`). The right-camera observations constrain
+    metric scale directly — including features visible ONLY in the right
+    camera (non-overlap region).
+
+    Returns (R, t, inlier_l, inlier_r, n_inliers_total)."""
+    delta = jnp.sqrt(robust.CHI2_2DOF)
+
+    def residuals(R, t):
+        Xl = lie.se3_apply(R, t, Xw_l)
+        rl = uv_l - cam.project(kind, K_l, Xl)
+        Xr = lie.se3_apply(R, t, Xw_r) @ R_rl.T + t_rl
+        rr = uv_r - cam.project(kind, K_r, Xr)
+        return rl, rr, Xl[:, 2], Xr[:, 2]
+
+    def chi2_of(R, t):
+        rl, rr, zl, zr = residuals(R, t)
+        c2l = jnp.sum(rl * rl, axis=-1) * info_l
+        c2r = jnp.sum(rr * rr, axis=-1) * info_r
+        return (jnp.where(zl > 0, c2l, 1e9), jnp.where(zr > 0, c2r, 1e9))
+
+    def gated_cost(R, t, ml, mr):
+        c2l, c2r = chi2_of(R, t)
+        return (jnp.sum(jnp.minimum(c2l, robust.CHI2_2DOF) * ml)
+                + jnp.sum(jnp.minimum(c2r, robust.CHI2_2DOF) * mr))
+
+    def gn_round(carry, round_i):
+        R, t, ml, mr = carry
+        use_huber = round_i < 2
+
+        def gn_iter(carry2, _):
+            R, t, lam, c_cur = carry2
+
+            def res_flat(dxi):
+                Rn, tn = lie.se3_lplus(R, t, dxi)
+                rl, rr, _, _ = residuals(Rn, tn)
+                return jnp.concatenate([rl.reshape(-1), rr.reshape(-1)])
+
+            r = res_flat(jnp.zeros(6))
+            J = jax.jacfwd(res_flat)(jnp.zeros(6))
+            r2 = r.reshape(-1, 2)
+            J2 = J.reshape(-1, 2, 6)
+            info = jnp.concatenate([info_l, info_r])
+            mask = jnp.concatenate([ml, mr])
+            c2 = jnp.sum(r2 * r2, axis=-1) * info
+            w_rob = jnp.where(
+                use_huber, robust.huber_weight(c2, delta), jnp.ones_like(c2)
+            )
+            w = w_rob * info * mask
+            wJ = J2 * w[:, None, None]
+            H = jnp.einsum("nri,nrj->ij", J2, wJ)
+            g = jnp.einsum("nri,nr->i", wJ, r2)
+            dxi = jnp.linalg.solve(H + lam * jnp.eye(6), -g)
+            okf = jnp.all(jnp.isfinite(dxi))
+            dxi = jnp.where(okf, dxi, 0.0)
+            Rn, tn = lie.se3_lplus(R, t, dxi)
+            c_new = gated_cost(Rn, tn, ml, mr)
+            accept = c_new < c_cur
+            return (
+                jnp.where(accept, Rn, R), jnp.where(accept, tn, t),
+                jnp.where(accept, lam * 0.5, lam * 4.0),
+                jnp.where(accept, c_new, c_cur),
+            ), None
+
+        (R, t, _, _), _ = jax.lax.scan(
+            gn_iter, (R, t, jnp.asarray(1e-3), gated_cost(R, t, ml, mr)),
+            None, length=iters,
+        )
+        c2l, c2r = chi2_of(R, t)
+        ml = jnp.where(c2l < robust.CHI2_2DOF,
+                       valid_l.astype(jnp.float32), 0.0)
+        mr = jnp.where(c2r < robust.CHI2_2DOF,
+                       valid_r.astype(jnp.float32), 0.0)
+        return (R, t, ml, mr), None
+
+    (R, t, ml, mr), _ = jax.lax.scan(
+        gn_round,
+        (R0, t0, valid_l.astype(jnp.float32), valid_r.astype(jnp.float32)),
+        jnp.arange(rounds),
+    )
+    return R, t, ml > 0, mr > 0, jnp.sum(ml > 0) + jnp.sum(mr > 0)
+
+
 @partial(jax.jit, static_argnames=("kind",))
 def match_local_map(kind: int, K, R, t, lm_pos, lm_desc, lm_valid,
                     lm_max_dist, lm_min_dist, lm_normal,
@@ -266,7 +358,7 @@ def match_local_map(kind: int, K, R, t, lm_pos, lm_desc, lm_valid,
 NO_LM_I32 = jnp.int32(-1)
 
 
-@partial(jax.jit, static_argnames=("kind", "use_stereo"))
+@partial(jax.jit, static_argnames=("kind", "use_stereo", "use_two_cam"))
 def track_frame_visual(kind: int, K, bf,
                        lm_pos, lm_desc, in_map, lm_max_dist, lm_min_dist,
                        lm_normal,
@@ -276,7 +368,10 @@ def track_frame_visual(kind: int, K, bf,
                        have_velocity, tracked_lms, last_inliers,
                        radius_coarse, radius_fine, min_inliers,
                        scale_factors, img_w, img_h,
-                       use_stereo: bool):
+                       use_stereo: bool,
+                       use_two_cam: bool = False,
+                       rfeat_xy=None, rfeat_desc=None, rfeat_octave=None,
+                       rfeat_valid=None, K_r=None, R_rl=None, t_rl=None):
     """One visual tracking step as a single compiled program: stage-1
     coarse match+optimize at the predicted pose (with the widened-window
     retry from the last pose under a `lax.cond`), stage-2 fine match, the
@@ -388,6 +483,40 @@ def track_frame_visual(kind: int, K, bf,
         n2 < min_inliers, refkf, keep2, None
     )
 
+    if use_two_cam:
+        # right-camera stage (fisheye stereo): match the local map through
+        # the fixed extrinsics T_rl and jointly refine the LEFT pose over
+        # both cameras' reprojection edges (PoseOptimization with ToBody
+        # edges, Optimizer.cc:871-977). Right-ONLY features — the
+        # non-overlap region — contribute tracked inliers here.
+        R_r = R_rl @ R2f
+        t_r = R_rl @ t2f + t_rl
+        idx_r, ok_r, vis_r, _, _ = match_local_map(
+            kind, K_r, R_r, t_r, lm_pos, lm_desc, in_map,
+            lm_max_dist, lm_min_dist, lm_normal,
+            rfeat_xy, rfeat_desc, rfeat_octave, rfeat_valid,
+            radius_fine, scale_factors, img_wh=(img_w, img_h),
+        )
+        inv_l = 1.0 / (
+            scale_factors[jnp.clip(feat_octave[idx], 0, n_levels - 1)] ** 2
+        )
+        inv_r = 1.0 / (
+            scale_factors[jnp.clip(rfeat_octave[idx_r], 0, n_levels - 1)]
+            ** 2
+        )
+        R2f, t2f, inl_l, inl_r, n_tc = pose_optimize_two_cam(
+            kind, K, K_r, R_rl, t_rl, R2f, t2f,
+            feat_xy[idx], lm_pos, inv_l, inlier,
+            rfeat_xy[idx_r], lm_pos, inv_r, ok_r,
+        )
+        inlier = inl_l
+        n2f = n_tc
+        # landmark stats: a point is visible/found through EITHER camera
+        visible = visible | vis_r
+        tracked_any = inl_l | inl_r
+    else:
+        tracked_any = inlier
+
     R2f = lie_mod.normalize_rotation(R2f)
     # motion model velocity = T_cur T_last^-1 (Tracking.cc:2207)
     Rl_inv, tl_inv = lie_mod.se3_inv(R_last, t_last)
@@ -402,8 +531,8 @@ def track_frame_visual(kind: int, K, bf,
         mode="drop",
     )
     return dict(
-        R=R2f, t=t2f, n=n2f, tracked=inlier, feat_lm=feat_lm,
-        vis32=visible.astype(jnp.int32), fnd32=inlier.astype(jnp.int32),
+        R=R2f, t=t2f, n=n2f, tracked=tracked_any, feat_lm=feat_lm,
+        vis32=visible.astype(jnp.int32), fnd32=tracked_any.astype(jnp.int32),
         Rv=Rv, tv=tv, vel_poisoned=vel_poisoned,
         # device-side motion-model validity for the NEXT frame's chained
         # dispatch (software pipeline: the host never reads this)

@@ -1,0 +1,111 @@
+"""Reference-scale operation (VERDICT r3 #5): one long session with
+hundreds of frames, arena growth past 150 keyframes, at least one loop
+closure, a tracking-loss -> new-Atlas-map -> cross-map merge event, and
+bounded per-frame cost as the map grows.
+
+The reference's operating regime is thousands of frames and hundreds of
+keyframes with essential graphs at minFeat=100 sparsity
+(`/root/reference/src/Optimizer.cc:1501-1782`); this is the scaled-down
+CI version of that regime (smaller frames/features so the CPU test
+backend finishes in minutes, but the same growth/loop/merge machinery).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+import jax.numpy as jnp
+import numpy as np
+
+from orb_slam3_tpu.api import evaluate
+from orb_slam3_tpu.atlas import invariants
+from orb_slam3_tpu.frontend import camera as cam
+from orb_slam3_tpu.frontend import orb as orb_mod
+from orb_slam3_tpu.place import vocab
+from orb_slam3_tpu.tracking import tracker as trk
+from synthetic_scene import loop_trajectory, room_scene
+
+K = cam.make_pinhole(260.0, 260.0, 192.0, 144.0)
+IMG_WH = (384, 288)
+
+
+def test_reference_scale_session():
+    scene = room_scene(np.array(K), img_wh=IMG_WH, seed=21)
+    n = 420
+    # ~2.3 revolutions inside a textured room: the second and third passes
+    # re-see the first pass's structure -> loop closures
+    R_gt, t_gt = loop_trajectory(n_frames=n, radius=1.6, loops=2.3)
+    cfg = trk.TrackerConfig(
+        K=K, img_wh=IMG_WH, sensor="rgbd", bf=26.0, th_depth=20.0,
+        orb=orb_mod.OrbConfig(n_features=400, n_levels=3),
+        kmax=64, lmax=8192, local_window=6, kf_max_frames=2,
+        deterministic_mapping=True,
+    )
+    t = trk.Tracker(cfg)
+    # small vocabulary trained on scene imagery (offline-vocab stand-in)
+    descs = []
+    Rv, tv = loop_trajectory(4, radius=1.0, start_angle=0.4)
+    for i in range(4):
+        f = orb_mod.extract(jnp.asarray(scene.render(Rv[i], tv[i])),
+                            cfg.orb)
+        descs.append(np.array(f.descriptors)[np.array(f.valid)])
+    voc = vocab.train(np.concatenate(descs), branching=8, depth=3)
+    t.attach_loop_closer(voc)
+
+    blackout_at = 180          # mid-session tracking loss -> new Atlas map
+    blackout_len = 7
+    blank = np.zeros((IMG_WH[1], IMG_WH[0]), np.float32)
+    frame_s = []
+    merged_once = False
+    for i in range(n):
+        if blackout_at <= i < blackout_at + blackout_len:
+            img, depth = blank, np.ones_like(blank)
+        else:
+            img, depth = scene.render_with_depth(R_gt[i], t_gt[i])
+        f0 = time.perf_counter()
+        t.process(img, i * 0.1, depth_map=depth)
+        frame_s.append(time.perf_counter() - f0)
+        if not merged_once and t.loop_closer.n_merges > 0:
+            merged_once = True
+    t.sync_mapping()
+
+    # the session went: map A -> loss -> map B -> merge back into one map
+    assert int(t.map.n_maps) >= 2, "blackout never spawned a second map"
+    assert t.loop_closer.n_merges >= 1, "maps never merged after the loss"
+    assert t.loop_closer.n_loops >= 1, (
+        f"no loop closure in {n} frames "
+        f"(loops={t.loop_closer.n_loops}, merges={t.loop_closer.n_merges})"
+    )
+    ids = np.array(t.map.kf_map_id)[np.array(t.map.kf_valid)]
+    assert len(np.unique(ids)) == 1, f"atlas not unified: maps {set(ids)}"
+
+    # scale: enough keyframes that the arena grew at least once
+    n_kf = int(np.array(t.map.kf_valid).sum())
+    assert n_kf >= 100, f"only {n_kf} keyframes"
+    assert t.map.kmax > 64, "arena never grew"
+
+    # accuracy: keyframe ATE over the whole unified map (metric, RGB-D)
+    s = t.map
+    kv = np.array(s.kf_valid)
+    kc = evaluate.camera_centers(np.array(s.kf_R)[kv], np.array(s.kf_t)[kv])
+    kts = np.array(s.kf_timestamp)[kv]
+    fr = np.clip((kts / 0.1 + 0.5).astype(int), 0, n - 1)
+    gtc = evaluate.camera_centers(R_gt[fr], t_gt[fr])
+    rmse, nm, _ = evaluate.ate_rmse(kts, kc, kts, gtc, with_scale=False)
+    assert rmse < 0.30, f"reference-scale ATE {rmse:.3f} over {nm} KFs"
+
+    # bounded long-horizon cost (SURVEY §5.7): per-frame time in the last
+    # 100 frames must not blow up vs the early-map phase. Compare medians
+    # (compaction/growth/loop spikes are amortized, not steady-state).
+    early = np.median(frame_s[40:140])
+    late = np.median(frame_s[-100:])
+    assert late < 4.0 * early + 0.05, (
+        f"per-frame cost grew unboundedly: early {early:.3f}s "
+        f"late {late:.3f}s"
+    )
+
+    # map structure stays sound at scale
+    v = invariants.check_all(t.map)
+    assert not v, v

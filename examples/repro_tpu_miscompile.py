@@ -26,6 +26,10 @@ import sys
 
 
 def run_one(kmax: int, lmax: int) -> None:
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     import numpy as np
     import jax
     import jax.numpy as jnp

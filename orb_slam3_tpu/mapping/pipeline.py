@@ -56,6 +56,11 @@ class KFPackage:
     # (mnVisible/mnFound, Tracking::SearchLocalPoints bookkeeping)
     stat_vis: Optional[jnp.ndarray] = None    # [L] int32
     stat_found: Optional[jnp.ndarray] = None  # [L] int32
+    # inertial sensors: the raw IMU interval (acc, gyro, dts) covering
+    # prev-KF -> this KF, cut by the tracker at request time
+    # (ImuState.cut_interval) and owned by the mapper's ImuState after
+    # delivery (the mlQueueImuData -> preintegration handoff role)
+    imu_interval: Optional[tuple] = None
 
 
 def apply_frame_stats(s: atlas_state.MapState, pkg: KFPackage):

@@ -65,6 +65,14 @@ class MapCommit:
     big_change: bool            # loop closed / maps merged (re-anchor hard)
     n_loops: int
     n_merges: int
+    # inertial commits: updated bias/velocity estimates, staged-init
+    # progress, and the NET gauge scale applied by init/VIBA/scale-refine
+    # since the previous commit (the tracker multiplies its relative pose
+    # by it when re-anchoring — Tracking::UpdateFrameIMU's contract,
+    # Tracking.cc:3980). bad_imu mirrors mbBadImu (LocalMapping.cc:144).
+    imu_state: Optional[dict] = None
+    gauge_scale: float = 1.0
+    bad_imu: bool = False
     # post-adopt host scalars, shipped as ONE device array whose host copy
     # was started when the commit was published (copy_to_host_async): by
     # adoption time it has usually arrived, so neither the mapper nor the
@@ -94,6 +102,7 @@ class AsyncMapper:
         self.inline = inline
 
         self._state: atlas_state.MapState | None = None
+        self._vi_ctx = None              # MapperVICtx for inertial sensors
         self._version = 0
         self._last_kf_row = -1
         self._queue: deque = deque()
@@ -113,13 +122,15 @@ class AsyncMapper:
     # ------------------------------------------------------------------
     # tracker-side API
     # ------------------------------------------------------------------
-    def start(self, initial_state: atlas_state.MapState, last_kf_row: int):
+    def start(self, initial_state: atlas_state.MapState, last_kf_row: int,
+              imu=None):
         self._state = initial_state
         self._last_kf_row = last_kf_row
         # host mirror of the keyframe bump allocator: each processed
         # package appends exactly one row, so the append position is known
         # without the per-package device fetch (one RTT each, mapper-side)
         self._host_n_kf = int(initial_state.n_kf)
+        self._set_imu(imu, initial_state)
         self._stop = False
         if self.inline:
             return
@@ -159,6 +170,28 @@ class AsyncMapper:
             self._cond.notify_all()
         return True
 
+    def export_imu(self):
+        """Hand the mapper-owned IMU bookkeeping back to the tracker
+        (call only while idle — after flush): keyframe interval buffers
+        and staged-init fields, so tracker-side map surgery (compaction
+        row remapping, map resets) operates on the REAL state before
+        reseeding the mapper."""
+        return None if self._vi_ctx is None else self._vi_ctx.imu
+
+    def _publish(self, commit: MapCommit):
+        """Install a commit as the latest, folding forward anything the
+        tracker has not polled yet: the tracker only ever adopts the
+        LATEST commit, so gauge scales / big-change / bad-IMU flags of
+        superseded commits must survive into it."""
+        with self._cond:
+            prev = self._latest
+            if prev is not None:
+                commit.gauge_scale *= prev.gauge_scale
+                commit.big_change = commit.big_change or prev.big_change
+                commit.bad_imu = commit.bad_imu or prev.bad_imu
+            self._latest = commit
+            self._cond.notify_all()
+
     def poll_commit(self) -> MapCommit | None:
         """Latest commit if newer than the last poll; None otherwise."""
         with self._cond:
@@ -195,17 +228,33 @@ class AsyncMapper:
             self._latest = None
             return c
 
-    def set_state(self, s: atlas_state.MapState, last_kf_row: int | None = None):
+    def set_state(self, s: atlas_state.MapState, last_kf_row: int | None = None,
+                  imu=None):
         """Replace the canonical state. Only legal when idle (callers flush
         first) — used for map lifecycle ops decided by tracking (new map on
-        timestamp jump / LOST, relocalization map switch)."""
+        timestamp jump / LOST, relocalization map switch). For inertial
+        sensors the tracker passes its ImuState, which is cloned — the
+        mapper owns the keyframe-interval buffers and staged-init
+        bookkeeping from here on."""
         with self._cond:
             assert not self._queue and not self._busy, "set_state while busy"
             self._state = s
             self._version += 1
             self._host_n_kf = int(s.n_kf)
+            self._set_imu(imu, s)
             if last_kf_row is not None:
                 self._last_kf_row = last_kf_row
+
+    def _set_imu(self, imu, s):
+        if imu is None:
+            self._vi_ctx = getattr(self, "_vi_ctx", None)
+            return
+        from ..tracking.vi_tracker import MapperVICtx
+
+        self._vi_ctx = MapperVICtx(
+            map=s, imu=imu.clone_for_mapper(), cfg=self.cfg,
+            scale_factors=self.scale_factors, debug_events=[],
+        )
 
     def stop(self, timeout: float = 30.0):
         if self.inline:
@@ -259,6 +308,8 @@ class AsyncMapper:
                 verbose.VERBOSITY_NORMAL,
             )
             return
+        if self._vi_ctx is not None and pkg.imu_interval is not None:
+            return self._process_inertial(pkg)
 
         from ..utils.timing import GLOBAL_TIMER as T
 
@@ -351,15 +402,147 @@ class AsyncMapper:
             stats.copy_to_host_async()
         except AttributeError:
             pass
-        with self._cond:
+        self._version += 1
+        self._publish(MapCommit(
+            state=s, version=self._version, kf_row=kf,
+            pkg_R=np.array(pkg.R), pkg_t=np.array(pkg.t),
+            big_change=big,
+            n_loops=self.loop_closer.n_loops if self.loop_closer else 0,
+            n_merges=self.loop_closer.n_merges if self.loop_closer else 0,
+            stats_arr=stats,
+            pkg_ts=float(pkg.timestamp),
+        ))
+
+    def _process_inertial(self, pkg: pipeline.KFPackage):
+        """One inertial keyframe through the mapping stack — the
+        LocalMapping::Run body for IMU sensors (insert, triangulate, fuse,
+        local-inertial BA, staged IMU init/refinement, inertial culling;
+        LocalMapping.cc:64-282,1173-1496) against the mapper's OWN map and
+        ImuState. Gauge transforms (init/VIBA/scale-refine) are reported
+        to the tracker through the commit's gauge_scale (VERDICT r3 #4b:
+        async mapping for inertial sensors; the reference runs
+        LocalMapping concurrently for every sensor, System.cc:197)."""
+        import jax.numpy as jnp
+
+        from ..mapping import local_mapper
+        from ..atlas import state as atlas_state_mod
+        from ..tracking import vi_tracker
+        from ..utils.timing import GLOBAL_TIMER as T
+
+        cfg = self.cfg
+        ctx = self._vi_ctx
+        s = self._state
+        ctx.map = s
+        ctx.last_kf_row = self._last_kf_row
+        events0 = len(ctx.debug_events)
+
+        with T.stage("map.pre"):
+            s, kf = pipeline.insert_keyframe_pkg(
+                s, pkg, cfg, self.base_sensor, self._last_kf_row
+            )
+            self._host_n_kf += 1
+            ctx.imu.store_interval(kf, pkg.imu_interval,
+                                   float(pkg.timestamp))
+
+            # bad-IMU detection (LocalMapping.cc:130-146)
+            bad = False
+            if ctx.imu.initialized and ctx.imu.viba_stage < 2:
+                prev = int(s.kf_prev[kf])
+                pprev = int(s.kf_prev[prev]) if prev >= 0 else -1
+                if prev >= 0 and pprev >= 0:
+                    cs = [-(np.array(s.kf_R[r]).T @ np.array(s.kf_t[r]))
+                          for r in (kf, prev, pprev)]
+                    dist = (np.linalg.norm(cs[0] - cs[1])
+                            + np.linalg.norm(cs[1] - cs[2]))
+                    if dist > 0.05:
+                        ctx.imu.tinit += float(pkg.timestamp) - float(
+                            s.kf_timestamp[prev])
+                    if ctx.imu.tinit < 10.0 and dist < 0.02:
+                        verbose.print_mess(
+                            "Not enough motion for initializing. "
+                            "Reseting...", verbose.VERBOSITY_NORMAL)
+                        ctx.imu.bad = True
+                        bad = True
+            if not bad:
+                s = pipeline.triangulate_mono(
+                    s, kf, cfg, self.scale_factors, self._last_kf_row
+                )
+                s = pipeline.fuse_recent(s, cfg, self.scale_factors)
+
+        if bad:
+            # ship the flag; the tracker resets the active map on adopt
             self._version += 1
-            self._latest = MapCommit(
+            self._publish(MapCommit(
                 state=s, version=self._version, kf_row=kf,
                 pkg_R=np.array(pkg.R), pkg_t=np.array(pkg.t),
-                big_change=big,
-                n_loops=self.loop_closer.n_loops if self.loop_closer else 0,
-                n_merges=self.loop_closer.n_merges if self.loop_closer else 0,
-                stats_arr=stats,
-                pkg_ts=float(pkg.timestamp),
-            )
-            self._cond.notify_all()
+                big_change=True, n_loops=0, n_merges=0,
+                bad_imu=True, pkg_ts=float(pkg.timestamp),
+            ))
+            self._state = s
+            self._last_kf_row = kf
+            return
+
+        w = cfg.local_window
+        rows, n_fixed = pipeline.ba_window(s, cfg)
+        ctx.map = s
+        with T.stage("map.local_ba"):
+            ran_vi = (ctx.imu.initialized
+                      and vi_tracker.run_vi_local_ba(ctx, rows, n_fixed))
+            if ran_vi:
+                s = ctx.map
+            else:
+                s = pipeline.run_visual_ba(
+                    s, cfg, self.scale_factors, rows, n_fixed,
+                    self.base_sensor,
+                )
+        with T.stage("map.culling"):
+            s = local_mapper.cull_landmarks(s)
+            s = atlas_state_mod.update_landmark_stats(s)
+            ctx.map = s
+            if ctx.imu.initialized and self._host_n_kf > w + 4:
+                vi_tracker.cull_keyframes_inertial(ctx, rows[: w + 4])
+                s = ctx.map
+
+        # staged inertial initialization / refinement
+        ctx.map = s
+        if not ctx.imu.initialized:
+            vi_tracker.try_initialize_imu(ctx)
+        else:
+            vi_tracker.try_refine_imu(ctx)
+        s = ctx.map
+
+        # net gauge scale applied by any init/VIBA/scale-refine events
+        gauge_scale = 1.0
+        gauged = False
+        for e in ctx.debug_events[events0:]:
+            if "scale" in e:
+                gauge_scale *= float(e["scale"])
+                gauged = True
+
+        # loop / merge detection
+        big = gauged
+        if self.loop_closer is not None:
+            with T.stage("map.loop_detect"):
+                s, closed = self.loop_closer.on_keyframe(
+                    s, kf, cfg.kind, cfg.K
+                )
+            big = big or closed
+
+        self._state = s
+        self._last_kf_row = kf
+        self.n_processed += 1
+        imu_state = dict(
+            initialized=ctx.imu.initialized,
+            viba_stage=ctx.imu.viba_stage,
+            bg=ctx.imu.bg, ba=ctx.imu.ba, vel=ctx.imu.vel,
+        )
+        self._version += 1
+        self._publish(MapCommit(
+            state=s, version=self._version, kf_row=kf,
+            pkg_R=np.array(pkg.R), pkg_t=np.array(pkg.t),
+            big_change=big,
+            n_loops=self.loop_closer.n_loops if self.loop_closer else 0,
+            n_merges=self.loop_closer.n_merges if self.loop_closer else 0,
+            imu_state=imu_state, gauge_scale=gauge_scale,
+            pkg_ts=float(pkg.timestamp),
+        ))

@@ -167,15 +167,16 @@ class FrameRecord:
 class Tracker:
     def __init__(self, cfg: TrackerConfig):
         self.cfg = cfg
-        if jax.default_backend() == "tpu":
-            # floor the arena capacities on TPU: the fused mapping stage
-            # miscompiles to a faulting kernel at small pad shapes on the
-            # tunneled backend (reproduced at kmax=32/lmax=4096 while
-            # 32/8192, 64/4096 and every sub-stage in isolation run fine —
-            # an XLA shape-specific codegen bug, not a semantic one).
-            # Padding is cheap on the MXU; capacity floors cost only HBM.
-            cfg.kmax = max(cfg.kmax, 64)
-            cfg.lmax = max(cfg.lmax, 8192)
+        # NOTE: rounds 3-4 floored kmax/lmax on TPU because the fused
+        # mapping stage "miscompiled to a faulting kernel" at some arena
+        # shapes. Root cause found in round 4: add_landmarks' overflow
+        # path clamped refused rows onto row L-1, producing a scatter
+        # with dozens of duplicate targets racing a real allocation —
+        # a data hazard that surfaced as a TPU kernel fault at shapes
+        # where the padding overflowed. Fixed by routing refused entries
+        # to the out-of-bounds index (mode="drop"); the full shape sweep
+        # (examples/repro_tpu_miscompile.py --sweep) now passes on the
+        # tunneled backend, so the floors are gone.
         self.map = atlas_state.empty(
             kmax=cfg.kmax, fmax=cfg.orb.n_features, lmax=cfg.lmax
         )
@@ -244,7 +245,11 @@ class Tracker:
     # asynchronous mapping (runtime.AsyncMapper dataflow)
     # ------------------------------------------------------------------
     def _use_async(self) -> bool:
-        return self.cfg.async_mapping and not self.use_imu
+        # inertial sensors included (VERDICT r3 #4b): the mapper owns the
+        # VI init/refinement stages; gauge changes arrive as commits with
+        # gauge_scale (the reference runs LocalMapping concurrently for
+        # every sensor, System.cc:197)
+        return self.cfg.async_mapping
 
     def _ensure_mapper(self):
         if self.async_mapper is None:
@@ -256,14 +261,16 @@ class Tracker:
                 background_gba=self.background_gba,
                 inline=self.cfg.deterministic_mapping,
             )
-            self.async_mapper.start(self.map, self.last_kf_row)
+            self.async_mapper.start(self.map, self.last_kf_row,
+                                    imu=self.imu)
             self._mapper_stale = False
         elif self._mapper_stale:
             # the tracker mutated the map locally (new Atlas map, reloc map
             # switch, re-initialization): re-seed the canonical state
             self.async_mapper.flush()
             self.async_mapper.poll_commit()  # ours is authoritative
-            self.async_mapper.set_state(self.map, self.last_kf_row)
+            self.async_mapper.set_state(self.map, self.last_kf_row,
+                                        imu=self.imu)
             self._mapper_stale = False
 
     def _adopt_commits(self):
@@ -300,6 +307,12 @@ class Tracker:
             # instead of composing over a long, gauge-drifted baseline.
             Ri, ti = lie.se3_inv(jnp.asarray(c.pkg_R), jnp.asarray(c.pkg_t))
             R_rel, t_rel = lie.se3_mul(self.last["R"], self.last["t"], Ri, ti)
+            # inertial gauge change (init/VIBA/scale-refine rescaled the
+            # world): the relative motion tracked since the package is in
+            # the OLD metric — rescale it before composing onto the
+            # corrected keyframe pose (UpdateFrameIMU, Tracking.cc:3980)
+            if getattr(c, "gauge_scale", 1.0) != 1.0:
+                t_rel = t_rel * jnp.asarray(c.gauge_scale, jnp.float32)
             Rn, tn = lie.se3_mul(
                 R_rel, t_rel, s_new.kf_R[c.kf_row], s_new.kf_t[c.kf_row]
             )
@@ -326,6 +339,25 @@ class Tracker:
                         (self._map_version, int(c.kf_row), mo),
                         max(rm[mo], 1),
                     )
+        # inertial commits refresh the tracker's IMU estimates (the
+        # UpdateFrameIMU role: new biases after mapping-side optimization,
+        # velocity re-seeded at the keyframe on gauge changes)
+        if c.imu_state is not None and self.imu is not None:
+            st = c.imu_state
+            was_init = self.imu.initialized
+            self.imu.initialized = st["initialized"]
+            self.imu.viba_stage = st["viba_stage"]
+            self.imu.bg = st["bg"]
+            self.imu.ba = st["ba"]
+            if c.big_change or (st["initialized"] and not was_init):
+                self.imu.vel = st["vel"]
+        if c.bad_imu and self.imu is not None:
+            # mbBadImu detected on the mapper: reset the active map
+            # (LocalMapping.cc:136-146 -> Tracking resets)
+            self.imu.bad = True
+            self.map = s_new
+            self._reset_active_map()
+            return
         if c.big_change:
             self.velocity = None
             self._tracked_lms = None
@@ -341,6 +373,16 @@ class Tracker:
         c = m.flush()
         if c is not None and not self._mapper_stale:
             self._adopt(c)
+        # inertial: take back the mapper-owned interval buffers + staged
+        # bookkeeping so tracker-side surgery (compaction row remap, map
+        # reset) works on the real state; the next reseed clones it back
+        mimu = m.export_imu()
+        if mimu is not None and self.imu is not None:
+            self.imu.kf_buffers = mimu.kf_buffers
+            self.imu.first_kf_ts = mimu.first_kf_ts
+            self.imu.init_ts = mimu.init_ts
+            self.imu.last_scale_refine_ts = mimu.last_scale_refine_ts
+            self.imu.tinit = mimu.tinit
 
     def sync_mapping(self):
         """Public barrier: make self.map reflect all queued mapping work
@@ -525,9 +567,14 @@ class Tracker:
             feat_ur=self._frame_ur, feat_depth=self._frame_depth,
             n_inliers=n_inliers,
             stat_vis=self._stat_vis, stat_found=self._stat_found,
+            imu_interval=(self.imu.cut_interval()
+                          if self.imu is not None else None),
         )
         first = self.async_mapper.n_processed == 0
         if not self.async_mapper.enqueue(pkg):
+            if pkg.imu_interval is not None:
+                # the measurements still belong to the open window
+                self.imu.restore_interval(pkg.imu_interval)
             return False  # saturated: retry next frame (Tracking.cc:3196)
         self._stat_vis = None
         self._stat_found = None

@@ -134,6 +134,57 @@ class ImuState:
         if self.first_kf_ts is None:
             self.first_kf_ts = timestamp
 
+    def cut_interval(self):
+        """Async-mapping handoff: detach and return the since-last-KF
+        buffer (acc, gyro, dts, ts) — the KFPackage ships it to the
+        mapper's ImuState (store_interval). Resets the tracker-side
+        accumulation exactly like commit_keyframe (the reference starts
+        mpImuPreintegratedFromLastKF fresh at CreateNewKeyFrame,
+        Tracking.cc:3216)."""
+        a, g, d, tl = self._cur
+        out = None
+        if a:
+            out = tuple(np.concatenate(x) for x in (a, g, d, tl))
+        self._cur = ([], [], [], [])
+        return out
+
+    def restore_interval(self, interval):
+        """Undo cut_interval when the mapper queue refused the package
+        (the measurements still belong to the open inter-KF window)."""
+        if interval is None:
+            return
+        a, g, d, tl = self._cur
+        self._cur = ([interval[0]] + a, [interval[1]] + g,
+                     [interval[2]] + d, [interval[3]] + tl)
+
+    def store_interval(self, kf_row: int, interval, timestamp: float):
+        """Mapper-side counterpart of commit_keyframe for a shipped
+        interval."""
+        if interval is not None:
+            self.kf_buffers[kf_row] = interval[:3]
+        if self.first_kf_ts is None:
+            self.first_kf_ts = timestamp
+
+    def clone_for_mapper(self) -> "ImuState":
+        """Snapshot for the background mapper's context: shares no mutable
+        buffers with the tracker-side state. The mapper owns kf_buffers
+        and the init/refinement bookkeeping from here on; the tracker's
+        copies go stale and are refreshed from commits."""
+        import copy
+
+        c = ImuState(self.noise, np.eye(4, dtype=np.float32))
+        c.Rbc, c.tbc = self.Rbc, self.tbc
+        c.initialized = self.initialized
+        c.bg, c.ba, c.vel = self.bg, self.ba, self.vel
+        c.kf_buffers = copy.deepcopy(self.kf_buffers)
+        c.first_kf_ts = self.first_kf_ts
+        c.init_ts = self.init_ts
+        c.viba_stage = self.viba_stage
+        c.last_scale_refine_ts = self.last_scale_refine_ts
+        c.tinit = self.tinit
+        c.bad = self.bad
+        return c
+
     def trim_before(self, t0: float):
         """Drop accumulated measurements at or before t0. Map initialization
         commits its first keyframe at the REFERENCE frame's timestamp; the
@@ -171,6 +222,26 @@ class ImuState:
             self.ba if ba is None else ba,
             **self.noise,
         )
+
+
+@dataclasses.dataclass
+class MapperVICtx:
+    """Duck-typed stand-in for the Tracker accepted by every VI mapping
+    routine (run_vi_local_ba, try_initialize_imu, try_refine_imu,
+    cull_keyframes_inertial, _apply_inertial_solution): the background
+    mapper's own map + IMU state. `last=None` skips the tracked-pose
+    re-anchoring inside _apply_inertial_solution — the TRACKER re-anchors
+    when it adopts the commit (gauge_scale)."""
+
+    map: object
+    imu: ImuState
+    cfg: object
+    scale_factors: object
+    debug_events: list
+    last: dict | None = None
+    velocity: object = None
+    _vi_prior: object = None
+    last_kf_row: int = -1
 
 
 # ----------------------------------------------------------------------
@@ -390,9 +461,13 @@ def try_refine_imu(tracker):
         imu.viba_stage += 1
         return True
 
-    # mono scale refinement: biases frozen, scale + gravity direction only
+    # mono scale refinement: biases AND velocities frozen at the map's
+    # current estimates — only scale + gravity direction are free
+    # (Optimizer::InertialOptimization(Map*, Rwg, scale),
+    # Optimizer.cc:3389: every other vertex is fixed)
     out = initialization.inertial_only_optimization(
         R_wb, t_wb, preints, bg0=imu.bg, ba0=imu.ba, fix_bias=True,
+        v0=tracker.map.kf_vel[jnp.asarray(chain)], fix_velocities=True,
         iters=30,
     )
     imu.last_scale_refine_ts = ts_now
@@ -419,8 +494,11 @@ def scale_refine_once(tracker) -> bool:
     if chain_out is None or len(chain_out[0]) < 4:
         return False
     chain, preints, R_wb, t_wb = chain_out
+    # biases and velocities fixed at the map's estimates: only the gauge
+    # (scale + gravity direction) is solved (Optimizer.cc:3389)
     out = initialization.inertial_only_optimization(
         R_wb, t_wb, preints, bg0=imu.bg, ba0=imu.ba, fix_bias=True,
+        v0=tracker.map.kf_vel[jnp.asarray(chain)], fix_velocities=True,
         iters=30,
     )
     scale = float(out["scale"])

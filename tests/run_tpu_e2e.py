@@ -98,6 +98,7 @@ def run_vi():
         K=K, img_wh=IMG_WH, sensor="mono-imu",
         orb=orb.OrbConfig(n_features=600, n_levels=4),
         kmax=64, lmax=8192, local_window=6, kf_max_frames=3,
+        deterministic_mapping=True,
     ))
     for i in range(n):
         t.process(scene.render(R_gt[i], t_gt[i]), (i + 1) * 0.1,

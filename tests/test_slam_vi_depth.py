@@ -73,6 +73,7 @@ def _cfg(sensor):
         K=K, img_wh=IMG_WH, sensor=sensor, bf=350.0 * BASELINE,
         th_depth=20.0, orb=orb_mod.OrbConfig(n_features=600, n_levels=4),
         kmax=64, lmax=8192, local_window=6, kf_max_frames=3,
+        deterministic_mapping=True,
     )
 
 

@@ -156,15 +156,18 @@ class AsyncMapper:
                 self.error = e
                 return
 
-    def enqueue(self, pkg: pipeline.KFPackage) -> bool:
+    def enqueue(self, pkg: pipeline.KFPackage, force: bool = False) -> bool:
         """InsertKeyFrame. Returns False if the queue is full (the tracker's
         NeedNewKeyFrame checks idleness first, so this is a backstop —
         Tracking.cc:3196-3214 interrupts BA and drops KFs when mapping is
-        saturated)."""
+        saturated). force=True always accepts — inertial keyframes must
+        never be dropped (the reference's queue is unbounded,
+        LocalMapping.cc:284; a dropped inertial KF breaks the temporal
+        preintegration chain AND starves the >=10-KF init gate)."""
         if self.error is not None:
             raise RuntimeError("mapper thread died") from self.error
         with self._cond:
-            if len(self._queue) >= self.max_queue:
+            if not force and len(self._queue) >= self.max_queue:
                 return False
             self._queue.append(pkg)
             self._cond.notify_all()
@@ -485,16 +488,27 @@ class AsyncMapper:
         w = cfg.local_window
         rows, n_fixed = pipeline.ba_window(s, cfg)
         ctx.map = s
-        with T.stage("map.local_ba"):
-            ran_vi = (ctx.imu.initialized
-                      and vi_tracker.run_vi_local_ba(ctx, rows, n_fixed))
-            if ran_vi:
-                s = ctx.map
-            else:
-                s = pipeline.run_visual_ba(
-                    s, cfg, self.scale_factors, rows, n_fixed,
-                    self.base_sensor,
-                )
+        # local BA only when the queue is empty (LocalMapping.cc:108-156),
+        # bounded by max_ba_skips — inertial keyframes are never dropped
+        # (enqueue force=True), so this skip rule is what lets the queue
+        # drain when the mapper falls behind the 0.25/0.5 s KF cadence
+        busy = self._queue_nonempty()
+        if busy and self._skipped_ba < self.max_ba_skips:
+            self._skipped_ba += 1
+            self.n_ba_skips += 1
+        else:
+            with T.stage("map.local_ba"):
+                ran_vi = (ctx.imu.initialized
+                          and vi_tracker.run_vi_local_ba(ctx, rows, n_fixed))
+                if ran_vi:
+                    s = ctx.map
+                else:
+                    s = pipeline.run_visual_ba(
+                        s, cfg, self.scale_factors, rows, n_fixed,
+                        self.base_sensor,
+                    )
+            self._skipped_ba = 0
+            self.n_ba_runs += 1
         with T.stage("map.culling"):
             s = local_mapper.cull_landmarks(s)
             s = atlas_state_mod.update_landmark_stats(s)

@@ -571,7 +571,8 @@ class Tracker:
                           if self.imu is not None else None),
         )
         first = self.async_mapper.n_processed == 0
-        if not self.async_mapper.enqueue(pkg):
+        if not self.async_mapper.enqueue(pkg,
+                                         force=pkg.imu_interval is not None):
             if pkg.imu_interval is not None:
                 # the measurements still belong to the open window
                 self.imu.restore_interval(pkg.imu_interval)
@@ -1576,9 +1577,15 @@ class Tracker:
             return False
         if idle:
             return True
-        # mapper busy: enqueue anyway for depth sensors if the queue is
-        # short (enqueueing preempts the in-flight BA — mbAbortBA,
-        # Tracking.cc:3196-3214); mono waits
+        # mapper busy: inertial keyframes are NEVER refused — the reference
+        # always enqueues them and the queue absorbs the backlog
+        # (LocalMapping.cc:284, Tracking.cc:3169-3175); dropping them
+        # starves the >=10-KF IMU-init gate behind a slow mapper BA
+        # (BENCH_r04: vi_imu_initialized false on the chip). Depth sensors
+        # enqueue while the queue is short (enqueueing preempts the
+        # in-flight BA — mbAbortBA, Tracking.cc:3196-3214); pure mono waits
+        if self.imu is not None:
+            return True
         return (self.base_sensor != "mono"
                 and self.async_mapper.queue_len() < 3)
 

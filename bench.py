@@ -127,6 +127,7 @@ def bench_e2e(n_frames=300):
 
 def bench_e2e_stereo(n_frames=100):
     from orb_slam3_tpu.api.system import System
+    from orb_slam3_tpu.utils.timing import GLOBAL_TIMER
 
     K, frames = _render_sequence(n_frames, stereo=True)
     bf = 35.0  # baseline 0.1 m * fx 350
@@ -141,15 +142,21 @@ def bench_e2e_stereo(n_frames=100):
     warm.shutdown()
 
     sys_ = System(config=cfg())
+    GLOBAL_TIMER.samples.clear()
     t0 = time.perf_counter()
     for i, (l, r) in enumerate(frames):
         sys_.track_stereo(l, r, i * 0.033)
     sys_.tracker.sync_mapping()
     dt = time.perf_counter() - t0
+    stage_ms = {
+        k: {kk: round(v[kk + "_ms"], 2) for kk in ("mean", "p50", "p95")}
+        for k, v in sorted(GLOBAL_TIMER.summary().items())
+    }
     out = {
         "fps": n_frames / dt,
         "keyframes": int(sys_.tracker.map.n_kf),
         "tracked": sum(rec.ok for rec in sys_.tracker.trajectory),
+        "stages": stage_ms,
     }
     sys_.shutdown()
     return out
@@ -186,9 +193,10 @@ def bench_e2e_vi(n_frames=60):
         t.settle()
         dt = time.perf_counter() - t0
         ok = sum(rec.ok for rec in t.trajectory)
-        return n_frames / dt, int(t.map.n_kf), ok, bool(
-            t.imu is not None and t.imu.initialized
-        )
+        init = bool(t.imu is not None and t.imu.initialized)
+        out = n_frames / dt, int(t.map.n_kf), ok, init
+        t.shutdown()  # stop the mapper thread (clean interpreter exit)
+        return out
 
     run()  # warmup (compiles)
     fps, n_kf, ok, init = run()

@@ -166,8 +166,23 @@ class System:
         trajectory.save_tum(path, ts, R, t, ok)
 
     def save_trajectory_euroc(self, path: str):
+        """SaveTrajectoryEuRoC (System.cc:662-882): inertial sensors export
+        the IMU BODY frame Twb via the Tbc extrinsics — EuRoC's IMU-frame
+        ground truth (evaluation/Ground_truth/EuRoC_imu) only aligns
+        against body poses, camera-frame export would be silently off by
+        the extrinsics."""
         ts, R, t, ok = self.tracker.poses()
-        trajectory.save_euroc(path, ts, R, t, ok)
+        trajectory.save_euroc(path, ts, R, t, ok, Tbc=self._tbc())
+
+    def _tbc(self):
+        """4x4 camera-to-body extrinsics for inertial sensors, else None."""
+        imu = self.tracker.imu
+        if imu is None:
+            return None
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = np.asarray(imu.Rbc)
+        T[:3, 3] = np.asarray(imu.tbc)
+        return T
 
     def save_trajectory_kitti(self, path: str):
         ts, R, t, ok = self.tracker.poses()

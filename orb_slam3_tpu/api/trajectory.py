@@ -18,16 +18,28 @@ from ..ops import lie
 import jax.numpy as jnp
 
 
-def _twc(R_cw, t_cw):
-    """Tcw -> (R_wc, t_wc = camera center)."""
+def _twc(R_cw, t_cw, Tbc=None):
+    """Tcw -> (R_wc, t_wc = camera center). With Tbc (the camera-to-body
+    extrinsics, X_b = Rbc X_c + tbc), returns BODY poses instead:
+    Twb = Twc o Tcb — inertial trajectories are exported in the IMU body
+    frame like the reference (System::SaveTrajectoryEuRoC computes
+    Twb = (Tbc * Tcw)^-1 for IMU sensors, System.cc:662-882); EuRoC's
+    IMU-frame ground truth only aligns against Twb."""
+    if Tbc is not None:
+        Tbc = np.asarray(Tbc)
+        Rbc, tbc = Tbc[:3, :3], Tbc[:3, 3]
+        # T_bw = Tbc o Tcw
+        R_bw = np.einsum("ij,njk->nik", Rbc, R_cw)
+        t_bw = np.einsum("ij,nj->ni", Rbc, t_cw) + tbc
+        R_cw, t_cw = R_bw, t_bw
     R_wc = np.swapaxes(R_cw, -1, -2)
     t_wc = -np.einsum("nij,ni->nj", R_cw, t_cw)
     return R_wc, t_wc
 
 
-def save_tum(path: str, ts, R_cw, t_cw, ok=None) -> None:
+def save_tum(path: str, ts, R_cw, t_cw, ok=None, Tbc=None) -> None:
     """TUM RGB-D format (SaveTrajectoryTUM, System.cc:569-660)."""
-    R_wc, c = _twc(R_cw, t_cw)
+    R_wc, c = _twc(R_cw, t_cw, Tbc)
     q = np.array(lie.rot_to_quat(jnp.asarray(R_wc)))
     with open(path, "w") as f:
         for i in range(len(ts)):
@@ -39,10 +51,11 @@ def save_tum(path: str, ts, R_cw, t_cw, ok=None) -> None:
             )
 
 
-def save_euroc(path: str, ts, R_cw, t_cw, ok=None) -> None:
+def save_euroc(path: str, ts, R_cw, t_cw, ok=None, Tbc=None) -> None:
     """EuRoC format: nanosecond timestamps (SaveTrajectoryEuRoC,
-    System.cc:662-882)."""
-    R_wc, c = _twc(R_cw, t_cw)
+    System.cc:662-882). Pass Tbc for inertial sensors — the reference
+    exports the IMU BODY frame (Twb) there, not the camera frame."""
+    R_wc, c = _twc(R_cw, t_cw, Tbc)
     q = np.array(lie.rot_to_quat(jnp.asarray(R_wc)))
     with open(path, "w") as f:
         for i in range(len(ts)):

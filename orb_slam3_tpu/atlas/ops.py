@@ -185,7 +185,14 @@ def apply_scaled_rotation(s: MapState, Ryw, scale, map_id) -> MapState:
       Tcw' = Tcw * Tw->w' with world transform X' = s * Ryw X
       => R_cw' = R_cw Ryw^T ; t_cw' = s * t_cw ; X' = s Ryw X ; v' = s Ryw v
     """
-    kf_in = s.kf_valid & (s.kf_map_id == map_id)
+    # include CULLED keyframe rows: per-frame trajectory records compose
+    # against their reference KF's stored pose even after it is culled
+    # (poses() — the reference instead re-chains Tcr through parents at
+    # export, System.cc:680-720); a gauge transform is a global similarity,
+    # so transforming dead rows keeps those compositions metric. KF rows
+    # are bump-allocated (never recycled before compaction), so no live
+    # row aliases a dead one.
+    kf_in = s.kf_map_id == map_id
     lm_in = s.lm_valid & (s.lm_map_id == map_id)
     RywT = Ryw.T
     new_R = jnp.where(kf_in[:, None, None], s.kf_R @ RywT[None], s.kf_R)

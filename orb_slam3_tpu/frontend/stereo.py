@@ -81,16 +81,27 @@ def match_stereo(xy_l, oct_l, desc_l, valid_l,
                 + img[y0 + 1, x0] * (1 - fx) * fy
                 + img[y0 + 1, x0 + 1] * fx * fy)
 
+    W2 = 2 * SAD_W + 1            # 11: SAD window
+    S2 = 2 * SAD_L + 1            # 11: disparity candidates
+    strip_w = W2 + S2 - 1         # 21: shared right-image strip
+
     def sad_one(uli, vi, uri, st):
-        ys = vi + dyy * st
-        xs = uli + dxx * st
-        patch_l = _bilerp(img_l, ys, xs)
-
-        def sad_at(o):
-            patch_r = _bilerp(img_r, ys, uri + (o - SAD_L) * st + dxx * st)
-            return jnp.sum(jnp.abs(patch_l - patch_r))
-
-        sads = jax.vmap(sad_at)(jnp.arange(2 * SAD_L + 1, dtype=jnp.float32))
+        ys = vi + dyy[:, :1] * st                       # [W2, 1]
+        patch_l = _bilerp(img_l, ys + 0 * dxx, uli + dxx * st)
+        # all 11 candidate windows share samples on the st-spaced grid:
+        # gather ONE [W2, strip_w] strip and slice the windows out of it
+        # (the per-offset re-gather version did 5.8x the random gathers —
+        # measured 37.8 ms/frame on-chip, the stereo fps bottleneck)
+        xs_strip = uri + jnp.arange(
+            -(SAD_W + SAD_L), SAD_W + SAD_L + 1, dtype=jnp.float32
+        )[None, :] * st                                  # [1, strip_w]
+        strip_r = _bilerp(img_r, jnp.broadcast_to(ys, (W2, strip_w)),
+                          jnp.broadcast_to(xs_strip, (W2, strip_w)))
+        windows = jnp.stack([
+            jax.lax.dynamic_slice_in_dim(strip_r, o, W2, axis=1)
+            for o in range(S2)
+        ])                                               # [S2, W2, W2]
+        sads = jnp.sum(jnp.abs(patch_l[None] - windows), axis=(1, 2))
         k = jnp.argmin(sads)
         k_c = jnp.clip(k, 1, 2 * SAD_L - 1)
         s1, s2, s3 = sads[k_c - 1], sads[k_c], sads[k_c + 1]

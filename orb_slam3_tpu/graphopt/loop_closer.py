@@ -149,6 +149,14 @@ class LoopCloser:
         self.n_loops = 0
         self.n_merges = 0
         self.pending: PendingLoop | None = None
+        # inertial context, set by the mapper/tracker before on_keyframe:
+        # None for visual sensors, else (imu_initialized, viba_stage).
+        # Drives the reference's inertial fidelity rules: no detection
+        # until inertial BA2 (LoopClosing.cc:341-346), pitch/roll gate +
+        # yaw-only forcing on loop corrections (:240-252), merge scale
+        # sanity + yaw forcing (:144-163), and 4-DoF essential graph
+        # (:1176-1184).
+        self.inertial: tuple | None = None
 
     def _trace(self, msg):
         verbose_on = getattr(self, "trace", False)
@@ -180,6 +188,14 @@ class LoopCloser:
         bow = vocab_mod.sparse_bow(
             self.voc, s.kf_feat_desc[kf_row], s.kf_feat_valid[kf_row]
         )
+        # inertial maps: no loop/merge detection until inertial BA2 has
+        # refined the gauge (LoopClosing.cc:341-346 — a pre-VIBA2 scale/
+        # gravity estimate would weld a mis-scaled correction into the map)
+        if self.inertial is not None:
+            initialized, viba_stage = self.inertial
+            if not initialized or viba_stage < 2:
+                self.db = self.db.add(kf_row, bow)
+                return s, False
         W = atlas_state.covisibility_weights(s)
         # candidate EXCLUSION uses any-shared-observation connectivity:
         # the reference's spConnectedKeyFrames comes from the FULL
@@ -228,10 +244,23 @@ class LoopCloser:
             cand, Rsw, tsw, ssw, pool = confirmed
             same_map = int(s.kf_map_id[kf_row]) == int(s.kf_map_id[cand])
             if same_map:
+                ok_inertial, Rsw, tsw, ssw = self._inertial_loop_gate(
+                    s, kf_row, Rsw, tsw, ssw
+                )
+                if not ok_inertial:
+                    self._trace("BAD LOOP (inertial pitch/roll/yaw gate)")
+                    self.pending = None
+                    self.db = self.db.add(kf_row, bow)
+                    return s, False
                 s = self._correct_loop(s, kf_row, cand, Rsw, tsw, ssw,
                                        pool, kind, K8)
                 self.n_loops += 1
             else:
+                if not self._inertial_merge_gate(ssw):
+                    self._trace("merge scale out of [0.9,1.1] (inertial)")
+                    self.pending = None
+                    self.db = self.db.add(kf_row, bow)
+                    return s, False
                 s = self._merge_maps_scw(s, kf_row, cand, Rsw, tsw, ssw,
                                          kind, K8)
                 self.n_merges += 1
@@ -240,6 +269,45 @@ class LoopCloser:
 
         self.db = self.db.add(kf_row, bow)
         return s, closed
+
+    # ------------------------------------------------------------------
+    def _inertial_loop_gate(self, s, kf_row, Rsw, tsw, ssw):
+        """Inertial loop sanity + yaw-only forcing (LoopClosing.cc:228-258):
+        the world-to-world correction Sww = Twc o Scw must be nearly pure
+        yaw (|pitch|,|roll| < 0.008 rad, |yaw| < 0.349) — gravity is
+        observable, so a correction that bends it is a bad loop. With
+        VIBA2 done the residual pitch/roll is zeroed exactly (the 4-DoF
+        gauge). Returns (ok, Rsw, tsw, ssw) with the possibly-forced Scw."""
+        if self.inertial is None:
+            return True, Rsw, tsw, ssw
+        _, viba_stage = self.inertial
+        Rwc, twc = lie.se3_inv(s.kf_R[kf_row], s.kf_t[kf_row])
+        Rww, tww, sww = lie.sim3_mul(
+            Rwc, twc, jnp.asarray(1.0), Rsw, tsw, jnp.asarray(ssw)
+        )
+        phi = np.array(lie.so3_log(Rww))
+        if not (abs(phi[0]) < 0.008 and abs(phi[1]) < 0.008
+                and abs(phi[2]) < 0.349):
+            return False, Rsw, tsw, ssw
+        if viba_stage >= 2:
+            # force only yaw; scale snapped to 1 (metric map)
+            phi[0] = 0.0
+            phi[1] = 0.0
+            Rww_f = lie.so3_exp(jnp.asarray(phi))
+            Rcw, tcw = lie.se3_inv(Rwc, twc)
+            Rsw, tsw, ssw_j = lie.sim3_mul(
+                Rcw, tcw, jnp.asarray(1.0), Rww_f, tww, jnp.asarray(1.0)
+            )
+            ssw = float(ssw_j)
+        return True, Rsw, tsw, ssw
+
+    def _inertial_merge_gate(self, ssw):
+        """Merge scale sanity for inertial maps (LoopClosing.cc:140-155):
+        both maps are metric, so the measured map-to-map scale must be in
+        [0.9, 1.1]."""
+        if self.inertial is None:
+            return True
+        return 0.9 < float(ssw) < 1.1
 
     # ------------------------------------------------------------------
     def _match_pairs(self, s, kf_row, feat_idx, pool_dist, ok_lm):
@@ -524,9 +592,21 @@ class LoopCloser:
         fixed = jnp.zeros((K,), bool).at[cand].set(True)
         fixed = fixed.at[0].set(True)
 
-        Ro, to, so, _ = essential.optimize_essential_graph(
-            kf_R, kf_t, kf_s, fixed, src, dst, R_rel, t_rel, s_rel, ev,
-        )
+        if self.inertial is not None and self.inertial[0]:
+            # inertial map with IMU initialized: 4-DoF (yaw+translation)
+            # essential graph — gravity pins roll/pitch and the map is
+            # metric, so the Sim3 graph's extra DoF could only rotate
+            # gravity out of alignment (OptimizeEssentialGraph4DoF
+            # selection, LoopClosing.cc:1176-1184, Optimizer.cc:5292)
+            se3_t = kf_t / jnp.maximum(kf_s, 1e-9)[:, None]
+            Ro, to, _ = essential.optimize_essential_graph_4dof(
+                kf_R, se3_t, fixed, src, dst, R_rel, t_rel, ev,
+            )
+            so = jnp.ones((K,))
+        else:
+            Ro, to, so, _ = essential.optimize_essential_graph(
+                kf_R, kf_t, kf_s, fixed, src, dst, R_rel, t_rel, s_rel, ev,
+            )
         s = essential.correct_map_after_pgo(s, s.kf_R, s.kf_t, Ro, to, so)
 
         # SearchAndFuse (LoopClosing.cc:1118-1140): weld the matched-side
@@ -558,6 +638,14 @@ class LoopCloser:
         Rk, tk = s.kf_R[kf_row], s.kf_t[kf_row]
         Ri, ti, si = lie.sim3_inv(Rsw, tsw, jnp.asarray(ssw))
         Rm, tm, sm = lie.sim3_mul(Ri, ti, si, Rk, tk, jnp.asarray(1.0))
+        # inertial merge with VIBA1 done: force the map-to-map rotation to
+        # yaw only — both maps' gravity is aligned with -z, and a merge
+        # must not bend it (LoopClosing.cc:156-163)
+        if self.inertial is not None and self.inertial[1] >= 1:
+            phi = np.array(lie.so3_log(Rm))
+            phi[0] = 0.0
+            phi[1] = 0.0
+            Rm = lie.so3_exp(jnp.asarray(phi))
 
         active = int(s.active_map)
         target = int(s.kf_map_id[cand])

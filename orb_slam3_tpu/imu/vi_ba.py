@@ -17,6 +17,7 @@ are Schur-eliminated exactly as in the visual case.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -122,28 +123,32 @@ def _bias_prior_residual(cam, data):
     return jnp.concatenate([cam["bg"], cam["ba"]], axis=-1)
 
 
+@partial(jax.jit, static_argnames=("kind", "iters"))
 def local_inertial_ba(kind: int, K8, Rbc, tbc,
                       Rwb, twb, vel, bg, ba, cam_fixed,
                       points, point_fixed,
                       cam_idx, lm_idx, uv, inv_sigma2, obs_mask,
                       preint_data, preint_info9, rw_info6,
                       chain_src, chain_dst, chain_valid,
-                      iters: int = 8, info_scale: float | None = None,
-                      bias_prior=None):
-    """Windowed VI-BA. Shapes: W body states, L landmarks (full arena with
-    point_fixed for out-of-window), E visual edges, W-1 chain edges.
+                      iters: int = 8, bias_prior=None):
+    """Windowed VI-BA — ONE compiled program per (window bucket, iters)
+    shape. Shapes: W body states, L landmarks (full arena with point_fixed
+    for out-of-window), E visual edges, W-1 chain edges.
 
-    info_scale: global cost normalization (f32 conditioning — see
-    imu/initialization.py); computed from the inertial info if None.
-    bias_prior: optional (priorG, priorA) — zero-mean bias priors on the
+    The global cost normalization info_scale (f32 conditioning — see
+    imu/initialization.py) is computed in-graph from the inertial info.
+    bias_prior: [2] array (priorG, priorA) — zero-mean bias priors on the
     first camera, the FullInertialBA staging knob (Optimizer.cc:392:
-    1e2/1e10 at init, 1/1e5 at VIBA1, none at VIBA2).
+    1e2/1e10 at init, 1/1e5 at VIBA1, 0 disables — a zero-information
+    edge contributes nothing, so the prior edge is always present and the
+    jit signature does not fork on it).
     Returns (Rwb, twb, vel, bg, ba, points, stats).
     """
-    if info_scale is None:
-        info_scale = float(jnp.maximum(
-            jnp.max(jax.vmap(jnp.diag)(preint_info9)), 1.0
-        ))
+    info_scale = jnp.maximum(
+        jnp.max(jax.vmap(jnp.diag)(preint_info9)), 1.0
+    )
+    if bias_prior is None:
+        bias_prior = jnp.zeros((2,), jnp.float32)
     E = uv.shape[0]
     res = make_vi_obs_residual(kind)
     obs_data = {
@@ -156,20 +161,19 @@ def local_inertial_ba(kind: int, K8, Rbc, tbc,
         preint_data, preint_info9 / info_scale, rw_info6 / info_scale,
         chain_src, chain_dst, chain_valid,
     )
-    if bias_prior is not None:
-        pg, pa = bias_prior
-        info6 = jnp.diag(jnp.asarray([pg] * 3 + [pa] * 3, jnp.float32))
-        prior = EdgeBatch(
-            indices=(jnp.zeros((1,), jnp.int32),),
-            data={"dummy": jnp.zeros((1,))},
-            info=(info6 / info_scale)[None],
-            mask=jnp.ones((1,), bool),
-            vertex_blocks=("cam",),
-            residual_dim=6,
-            residual=_bias_prior_residual,
-            huber_delta=None,
-        )
-        cam_edges = cam_edges + (prior,)
+    pg, pa = bias_prior[0], bias_prior[1]
+    info6 = jnp.diag(jnp.concatenate([jnp.full((3,), pg), jnp.full((3,), pa)]))
+    prior = EdgeBatch(
+        indices=(jnp.zeros((1,), jnp.int32),),
+        data={"dummy": jnp.zeros((1,))},
+        info=(info6 / info_scale)[None].astype(jnp.float32),
+        mask=jnp.ones((1,), bool),
+        vertex_blocks=("cam",),
+        residual_dim=6,
+        residual=_bias_prior_residual,
+        huber_delta=None,
+    )
+    cam_edges = cam_edges + (prior,)
     bap = schur.BAProblem(
         cams=make_vi_cam_block(Rwb, twb, vel, bg, ba, cam_fixed),
         points=points,

@@ -73,9 +73,9 @@ class EdgeBatch:
     vertex_blocks: Tuple[str, ...] = dataclasses.field(metadata=dict(static=True))
     residual_dim: int = dataclasses.field(metadata=dict(static=True))
     residual: Callable = dataclasses.field(metadata=dict(static=True))
-    huber_delta: Optional[float] = dataclasses.field(
-        default=None, metadata=dict(static=True)
-    )
+    # dynamic pytree leaf (None = no kernel, an empty subtree): a traced
+    # value is allowed so info-rescaled thresholds can cross jit boundaries
+    huber_delta: Optional[float] = None
 
     @property
     def num(self) -> int:

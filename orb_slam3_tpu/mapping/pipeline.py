@@ -61,6 +61,11 @@ class KFPackage:
     # (ImuState.cut_interval) and owned by the mapper's ImuState after
     # delivery (the mlQueueImuData -> preintegration handoff role)
     imu_interval: Optional[tuple] = None
+    # mapper commit version whose gauge this package's pose is expressed
+    # in (the tracker's last adopted commit): inertial gauge transforms
+    # (init/VIBA/scale-refine) that land between enqueue and processing
+    # re-gauge the pose on arrival (see AsyncMapper gauge history)
+    gauge_version: int = 0
 
 
 def apply_frame_stats(s: atlas_state.MapState, pkg: KFPackage):

@@ -132,10 +132,12 @@ def make_dist_ba_step(mesh: Mesh, residual, cam_retract, C: int,
         gc_e = jnp.einsum("erc,er->ec", Jc, Wr)
         gl_e = jnp.einsum("era,er->ea", Jl, Wr)
 
-        Hcc = jnp.zeros((Kc, C, Kc, C)).at[
-            cam_idx[:, None, None], jnp.arange(C)[None, :, None],
-            cam_idx[:, None, None], jnp.arange(C)[None, None, :],
-        ].add(Hcc_e)
+        # block-diagonal assembly (see lm/schur.py: the 4D fancy-index
+        # scatter is ~3.5 ms on-chip; segment-sum + identity expansion is
+        # the same result)
+        Hcc_diag = jnp.zeros((Kc, C, C)).at[cam_idx].add(Hcc_e)
+        Hcc = jnp.einsum("kcd,kj->kcjd", Hcc_diag,
+                         jnp.eye(Kc, dtype=Hcc_diag.dtype))
         gc = jnp.zeros((Kc, C)).at[cam_idx].add(gc_e)
 
         # relative (Marquardt) damping — see lm/schur.py: absolute lam*I is
@@ -148,7 +150,7 @@ def make_dist_ba_step(mesh: Mesh, residual, cam_retract, C: int,
         floor_l = 1e-6 * jnp.maximum(jax.lax.pmax(jnp.max(dHll), axis), 1.0)
         Hll = Hll + jax.vmap(jnp.diag)(lam * dHll + floor_l)
         Hll = jnp.where(point_fixed[:, None, None], jnp.eye(3)[None], Hll)
-        Hll_inv = jnp.linalg.inv(Hll)
+        Hll_inv = schur.inv3x3(Hll)
         gl = jnp.zeros((Lp, 3)).at[lm_idx].add(gl_e) * lm_free[:, None]
 
         B = jnp.zeros((Lp, Kc, C, 3)).at[lm_idx, cam_idx].add(Hcl_e)

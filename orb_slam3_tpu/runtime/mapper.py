@@ -131,6 +131,7 @@ class AsyncMapper:
         # without the per-package device fetch (one RTT each, mapper-side)
         self._host_n_kf = int(initial_state.n_kf)
         self._set_imu(imu, initial_state)
+        self._reset_gauge()
         self._stop = False
         if self.inline:
             return
@@ -186,12 +187,32 @@ class AsyncMapper:
         tracker has not polled yet: the tracker only ever adopts the
         LATEST commit, so gauge scales / big-change / bad-IMU flags of
         superseded commits must survive into it."""
+        # big change BEFORE folding unpolled predecessors: packages
+        # enqueued under this or later versions are in the corrected world
+        if commit.big_change:
+            self._last_change_version = commit.version
         with self._cond:
             prev = self._latest
             if prev is not None:
                 commit.gauge_scale *= prev.gauge_scale
                 commit.big_change = commit.big_change or prev.big_change
                 commit.bad_imu = commit.bad_imu or prev.bad_imu
+            # snapshot the cumulative gauge + newest-KF anchor pose under
+            # this commit's version so packages enqueued after the tracker
+            # adopts it can be re-gauged relative to it; prune old entries
+            self._gauge_hist[commit.version] = self._gauge_tot
+            if commit.kf_row >= 0:
+                # DEVICE slices (no host fetch — np.array here would
+                # block the mapper behind the whole queued device stream)
+                self._anchor_hist[commit.version] = (
+                    int(commit.kf_row),
+                    commit.state.kf_R[commit.kf_row],
+                    commit.state.kf_t[commit.kf_row],
+                )
+            for hist in (self._gauge_hist, self._anchor_hist):
+                if len(hist) > 64:
+                    for v in sorted(hist)[:-32]:
+                        del hist[v]
             self._latest = commit
             self._cond.notify_all()
 
@@ -245,8 +266,63 @@ class AsyncMapper:
             self._version += 1
             self._host_n_kf = int(s.n_kf)
             self._set_imu(imu, s)
+            self._reset_gauge()
             if last_kf_row is not None:
                 self._last_kf_row = last_kf_row
+
+    def _reset_gauge(self):
+        """Cumulative world-gauge transform applied by inertial solutions
+        since (re)seed: X' = s_tot * R_tot @ X. Keyed snapshots per commit
+        version let _regauge_pkg re-express stale in-flight packages
+        (a package enqueued before an IMU-init gauge transform carries a
+        pose in the OLD gauge; inserting it untransformed scrambled KF
+        spacing and tripped the bad-IMU motion check — the round-5 async
+        VI init failure). _anchor_hist additionally snapshots the newest
+        keyframe's pose per commit version so packages that straddle a
+        loop/merge/GBA correction are re-anchored through the keyframe's
+        pose delta (the reference stops LocalMapping and drains its queue
+        BEFORE CorrectLoop moves the world, LoopClosing.cc:975-999; our
+        queue survives the correction, so the packages must move instead)."""
+        self._gauge_tot = (np.eye(3, dtype=np.float32), 1.0)
+        self._gauge_hist = {self._version: self._gauge_tot}
+        self._anchor_hist = {}
+        self._last_change_version = self._version
+
+    def _regauge_pkg(self, pkg: pipeline.KFPackage):
+        """Re-express a stale package's pose in the CURRENT world. No-op
+        unless a big change (inertial gauge event, loop, merge, GBA)
+        committed after the gauge version the tracker enqueued it under —
+        ordinary local-BA wiggle must NOT trigger re-anchoring (measured
+        to hurt; see pipeline.insert_keyframe_pkg note)."""
+        from ..ops import lie
+
+        v = pkg.gauge_version
+        if v >= self._last_change_version:
+            return pkg
+        Ra_g, sa_g = self._gauge_hist.get(v, self._gauge_tot)
+        Rc_g, sc_g = self._gauge_tot
+        ds = sc_g / sa_g
+        anch = self._anchor_hist.get(v)
+        if anch is not None:
+            r, Ra, ta = anch
+            Rb, tb = self._state.kf_R[r], self._state.kf_t[r]
+            Rai, tai = lie.se3_inv(Ra, ta)
+            Rrel, trel = lie.se3_mul(pkg.R, pkg.t, Rai, tai)
+            Rn, tn = lie.se3_mul(
+                Rrel, jnp.asarray(ds, jnp.float32) * trel, Rb, tb
+            )
+            return dataclasses.replace(
+                pkg, R=lie.normalize_rotation(Rn), t=tn
+            )
+        # no anchor snapshot (version predates the first commit):
+        # gauge-only correction (R' = R dR^T, t' = ds * t)
+        if ds != 1.0 or not np.array_equal(Ra_g, Rc_g):
+            dR = jnp.asarray(Rc_g @ Ra_g.T)
+            return dataclasses.replace(
+                pkg, R=pkg.R @ dR.T,
+                t=jnp.asarray(ds, jnp.float32) * pkg.t,
+            )
+        return pkg
 
     def _set_imu(self, imu, s):
         if imu is None:
@@ -367,6 +443,7 @@ class AsyncMapper:
         if self.loop_closer is not None:
             merges_before = self.loop_closer.n_merges
             loops_before = self.loop_closer.n_loops
+            self.loop_closer.inertial = None  # visual package path
             with T.stage("map.loop_detect"):
                 s, closed = self.loop_closer.on_keyframe(
                     s, kf, cfg.kind, cfg.K
@@ -438,6 +515,21 @@ class AsyncMapper:
         ctx.map = s
         ctx.last_kf_row = self._last_kf_row
         events0 = len(ctx.debug_events)
+
+        # re-gauge a stale package: its pose is expressed in the gauge of
+        # the commit the tracker had adopted at enqueue time; any inertial
+        # gauge transforms since then must be applied (pose transform per
+        # event: R' = R @ Ryw^T, t' = s * t — Map::ApplyScaledRotation's
+        # camera-side action, Map.cc:252)
+        Ra, sa = self._gauge_hist.get(pkg.gauge_version, self._gauge_tot)
+        Rc, sc = self._gauge_tot
+        if sa != sc or not np.array_equal(Ra, Rc):
+            dR = jnp.asarray(Rc @ Ra.T)
+            pkg = dataclasses.replace(
+                pkg,
+                R=pkg.R @ dR.T,
+                t=jnp.asarray(sc / sa, jnp.float32) * pkg.t,
+            )
 
         with T.stage("map.pre"):
             s, kf = pipeline.insert_keyframe_pkg(
@@ -525,22 +617,45 @@ class AsyncMapper:
             vi_tracker.try_refine_imu(ctx)
         s = ctx.map
 
-        # net gauge scale applied by any init/VIBA/scale-refine events
+        # net gauge scale applied by any init/VIBA/scale-refine events;
+        # fold each event into the cumulative gauge (left-multiplied:
+        # Rg <- Ryw @ Rg, sg <- s * sg)
         gauge_scale = 1.0
         gauged = False
         for e in ctx.debug_events[events0:]:
             if "scale" in e:
                 gauge_scale *= float(e["scale"])
                 gauged = True
+                if "Ryw" in e:
+                    Rg, sg = self._gauge_tot
+                    self._gauge_tot = (
+                        np.asarray(e["Ryw"], np.float32) @ Rg,
+                        sg * float(e["scale"]),
+                    )
 
-        # loop / merge detection
+        # loop / merge detection — with the inertial context (VIBA2 gate,
+        # pitch/roll gate, yaw forcing, 4-DoF PGO; LoopClosing.cc:341,
+        # 240-252, 1176-1184)
         big = gauged
         if self.loop_closer is not None:
+            merges_before = self.loop_closer.n_merges
+            self.loop_closer.inertial = (ctx.imu.initialized,
+                                         ctx.imu.viba_stage)
             with T.stage("map.loop_detect"):
                 s, closed = self.loop_closer.on_keyframe(
                     s, kf, cfg.kind, cfg.K
                 )
             big = big or closed
+            # MergeInertialBA role (LoopClosing.cc:1783 MergeLocal2 ->
+            # Optimizer::MergeInertialBA:3948): after an inertial merge,
+            # re-solve the temporal window jointly with the inertial chain
+            # so velocities/biases stay consistent with the merged gauge
+            if closed and self.loop_closer.n_merges > merges_before:
+                ctx.map = s
+                n_rows = min(self._host_n_kf, 10)
+                rows = np.arange(self._host_n_kf - n_rows, self._host_n_kf)
+                if vi_tracker.run_vi_local_ba(ctx, rows, n_fixed=1):
+                    s = ctx.map
 
         self._state = s
         self._last_kf_row = kf

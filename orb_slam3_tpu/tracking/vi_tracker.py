@@ -16,6 +16,7 @@ Twb = Tcw^{-1} * Tcb with the fixed extrinsics Tbc (IMU::Calib, ImuTypes.h:92).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -26,6 +27,43 @@ from ..imu import factors, initialization, preintegration as pre, vi_ba
 from ..ops import lie
 
 IMU_BUF = 512  # max samples per keyframe interval
+
+# VI-BA window/chain shape buckets: every distinct window length otherwise
+# compiles its own XLA program (the inertial chain grows by one KF per
+# insertion during init — measured as the dominant suite/chip cost in r4)
+VI_W_BUCKETS = (10, 12, 16, 24, 32, 48, 64)
+
+
+def _w_bucket(n: int) -> int:
+    for b in VI_W_BUCKETS:
+        if n <= b:
+            return b
+    return -(-n // 32) * 32
+
+
+@partial(jax.jit, static_argnames=())
+def _integrate_batch(acc, gyro, dts, valid, bg, ba, noise4):
+    """Vmapped preintegration over [N, IMU_BUF] windows — one dispatch for
+    the whole inertial chain instead of one per interval."""
+    return jax.vmap(
+        lambda a, g, d, v, bgi, bai: pre.integrate(
+            a, g, d, v, bgi, bai,
+            noise_gyro=noise4[0], noise_acc=noise4[1],
+            walk_gyro=noise4[2], walk_acc=noise4[3],
+        )
+    )(acc, gyro, dts, valid, bg, ba)
+
+
+@jax.jit
+def _preint_edge_arrays(pstack):
+    """Stacked Preintegrated -> (edge data pytree [N,...], info9 [N,9,9],
+    rw info [N,6,6]) in one compiled program."""
+    d, info = jax.vmap(lambda p: factors.preint_edge_data(p))(pstack)
+    g = jax.vmap(factors.gyro_rw_info)(pstack)
+    a = jax.vmap(factors.acc_rw_info)(pstack)
+    rw = jnp.zeros((info.shape[0], 6, 6))
+    rw = rw.at[:, :3, :3].set(g).at[:, 3:, 3:].set(a)
+    return d, info, rw
 
 
 def cam_to_body(R_cw, t_cw, Rbc, tbc):
@@ -202,6 +240,32 @@ class ImuState:
             [acc[keep]], [gyro[keep]], [dts[keep]], [ts[keep]]
         ) if keep.any() else ([], [], [], [])
 
+    def stacked_buffers(self, kf_rows):
+        """Padded [N, IMU_BUF] measurement stack for the intervals ENDING at
+        kf_rows (None/missing rows produce all-invalid windows). Returns
+        (acc, gyro, dts, valid) as np arrays ready for _integrate_batch."""
+        n = len(kf_rows)
+        acc = np.zeros((n, IMU_BUF, 3), np.float32)
+        gyro = np.zeros((n, IMU_BUF, 3), np.float32)
+        dts = np.zeros((n, IMU_BUF), np.float32)
+        valid = np.zeros((n, IMU_BUF), np.float32)
+        for i, r in enumerate(kf_rows):
+            if r is None or r not in self.kf_buffers:
+                continue
+            a, g, d = self.kf_buffers[r]
+            m = min(len(d), IMU_BUF)
+            acc[i, :m] = a[-m:]
+            gyro[i, :m] = g[-m:]
+            dts[i, :m] = d[-m:]
+            valid[i, :m] = 1.0
+        return acc, gyro, dts, valid
+
+    def noise4(self):
+        return jnp.asarray([
+            self.noise["noise_gyro"], self.noise["noise_acc"],
+            self.noise["walk_gyro"], self.noise["walk_acc"],
+        ], jnp.float32)
+
     def preint_between(self, kf_row: int, bg=None, ba=None):
         """(Re-)integrate the stored interval ending at kf_row
         (Preintegrated::Reintegrate on bias updates, ImuTypes.cc:168)."""
@@ -250,8 +314,10 @@ class MapperVICtx:
 
 def _inertial_chain(tracker, bg=None, ba=None):
     """Temporal-chain preintegration intervals (buffer r covers
-    kf_prev[r] -> r): (chain_rows, preints, R_wb, t_wb) or None. The chain
-    follows mPrevKF links so it stays connected across culled keyframes."""
+    kf_prev[r] -> r): (chain_rows, preint_stack, R_wb, t_wb) or None.
+    preint_stack is a Preintegrated pytree with leading dim len(chain)-1 —
+    ONE batched integration dispatch for the whole chain. The chain follows
+    mPrevKF links so it stays connected across culled keyframes."""
     imu = tracker.imu
     s = tracker.map
     n_kf = int(s.n_kf)
@@ -270,14 +336,21 @@ def _inertial_chain(tracker, bg=None, ba=None):
     rows = connected
     if not rows:
         return None
-    preints = [imu.preint_between(r, bg=bg, ba=ba) for r in rows]
+    n_e = len(rows)
+    acc, gyro, dts, valid = imu.stacked_buffers(rows)
+    bg1 = jnp.reshape(imu.bg if bg is None else jnp.asarray(bg), (1, 3))
+    ba1 = jnp.reshape(imu.ba if ba is None else jnp.asarray(ba), (1, 3))
+    pstack = _integrate_batch(
+        jnp.asarray(acc), jnp.asarray(gyro), jnp.asarray(dts),
+        jnp.asarray(valid),
+        jnp.tile(bg1, (n_e, 1)), jnp.tile(ba1, (n_e, 1)), imu.noise4(),
+    )
     chain = [int(kf_prev[rows[0]])] + rows
-    R_wb, t_wb = [], []
-    for r in chain:
-        Rb, tb = cam_to_body(s.kf_R[r], s.kf_t[r], imu.Rbc, imu.tbc)
-        R_wb.append(Rb)
-        t_wb.append(tb)
-    return chain, preints, jnp.stack(R_wb), jnp.stack(t_wb)
+    chain_j = jnp.asarray(chain, jnp.int32)
+    R_wb, t_wb = jax.vmap(
+        lambda R, t: cam_to_body(R, t, imu.Rbc, imu.tbc)
+    )(s.kf_R[chain_j], s.kf_t[chain_j])
+    return chain, pstack, R_wb, t_wb
 
 
 def _apply_inertial_solution(tracker, out, chain, update_bias=True,
@@ -288,6 +361,7 @@ def _apply_inertial_solution(tracker, out, chain, update_bias=True,
     imu = tracker.imu
     s = tracker.map
     scale = float(out["scale"])
+    Ryw = out["Rwg"].T
     tracker.debug_events.append({
         "ts": float(s.kf_timestamp[int(s.n_kf) - 1]),
         "event": event,
@@ -295,8 +369,11 @@ def _apply_inertial_solution(tracker, out, chain, update_bias=True,
         "gravity": np.array(out["Rwg"] @ jnp.array([0.0, 0.0, -pre.GRAVITY])),
         "bg": np.array(out["bg"]),
         "ba": np.array(out["ba"]),
+        # world gauge rotation of this event (X' = s * Ryw @ X): the async
+        # mapper folds it into its cumulative gauge so stale in-flight
+        # packages can be re-gauged on arrival (see AsyncMapper._gauge_tot)
+        "Ryw": np.array(Ryw),
     })
-    Ryw = out["Rwg"].T
     s2 = atlas_ops.apply_scaled_rotation(
         s, Ryw, jnp.asarray(scale), s.active_map
     )
@@ -321,6 +398,14 @@ def _apply_inertial_solution(tracker, out, chain, update_bias=True,
         R_l, t_l = tracker.last["R"], tracker.last["t"]
         tracker.last["R"] = R_l @ Ryw.T
         tracker.last["t"] = scale * t_l
+    # stored relative frame poses rescale with the gauge
+    # (Tracking::UpdateFrameIMU rescales mlRelativeFramePoses,
+    # Tracking.cc:3980-4010). MapperVICtx has no trajectory — the ASYNC
+    # tracker rescales at commit adoption via gauge_scale instead.
+    traj = getattr(tracker, "trajectory", None)
+    if traj is not None:
+        for f in traj:
+            f.t_rel = np.asarray(f.t_rel) * scale
     tracker.velocity = None
     tracker._vi_prior = None  # gauge changed
 
@@ -619,50 +704,47 @@ def run_vi_local_ba(tracker, window_rows: np.ndarray, n_fixed: int,
     imu = tracker.imu
     s = tracker.map
     rows = [int(r) for r in window_rows]
-    W = len(rows)
+    W0 = len(rows)
+    # bucket the window length: pads repeat the LAST row (their visual
+    # edges masked, their camera vertices fixed, their chain edges invalid)
+    # so each bucket is ONE compiled program regardless of chain growth
+    W = _w_bucket(W0)
+    rows = rows + [rows[-1]] * (W - W0)
+    real = np.arange(W) < W0
     L = s.lmax
     Fc = s.fmax
 
+    rows_j = jnp.asarray(rows, jnp.int32)
     Rwb, twb = jax.vmap(
         lambda R, t: cam_to_body(R, t, imu.Rbc, imu.tbc)
-    )(s.kf_R[jnp.asarray(rows)], s.kf_t[jnp.asarray(rows)])
+    )(s.kf_R[rows_j], s.kf_t[rows_j])
 
     # inertial intervals between temporally-chained window rows (buffer r
     # covers kf_prev[r] -> r; culling merges intervals, so adjacency is by
-    # mPrevKF link, not arena row)
+    # mPrevKF link, not arena row) — batched into ONE preintegration
+    # dispatch over the whole chain
     kf_prev_np = np.array(s.kf_prev)
-    preints = []
+    interval_rows = []
     ok_chain = []
     for i in range(W - 1):
-        if kf_prev_np[rows[i + 1]] == rows[i]:
-            p = imu.preint_between(rows[i + 1], bg=s.kf_bg[rows[i]],
-                                   ba=s.kf_ba[rows[i]])
-            preints.append(p)
-            ok_chain.append(p is not None)
-        else:
-            preints.append(None)
-            ok_chain.append(False)
+        ok = (real[i + 1] and kf_prev_np[rows[i + 1]] == rows[i]
+              and rows[i + 1] in imu.kf_buffers)
+        interval_rows.append(rows[i + 1] if ok else None)
+        ok_chain.append(bool(ok))
     if not any(ok_chain):
         return False
-    proto = next(p for p in preints if p is not None)
-    datas, infos, rws = [], [], []
-    for p in preints:
-        q = p if p is not None else proto
-        d, info = factors.preint_edge_data(q)
-        datas.append(d)
-        infos.append(info)
-        rw = jnp.zeros((6, 6))
-        rw = rw.at[:3, :3].set(factors.gyro_rw_info(q))
-        rw = rw.at[3:, 3:].set(factors.acc_rw_info(q))
-        rws.append(rw)
-    preint_data = jax.tree.map(lambda *xs: jnp.stack(xs), *datas)
-    preint_info = jnp.stack(infos)
-    rw_info = jnp.stack(rws)
+    acc, gyro, dts, valid = imu.stacked_buffers(interval_rows)
+    pstack = _integrate_batch(
+        jnp.asarray(acc), jnp.asarray(gyro), jnp.asarray(dts),
+        jnp.asarray(valid),
+        s.kf_bg[rows_j[:-1]], s.kf_ba[rows_j[:-1]], imu.noise4(),
+    )
+    preint_data, preint_info, rw_info = _preint_edge_arrays(pstack)
 
-    # visual edges from the window
-    rows_j = jnp.asarray(rows, jnp.int32)
+    # visual edges from the window (pad rows contribute none)
     lm_idx0 = s.kf_feat_lm[rows_j]
-    feat_ok = s.kf_feat_valid[rows_j] & (lm_idx0 >= 0)
+    feat_ok = (s.kf_feat_valid[rows_j] & (lm_idx0 >= 0)
+               & jnp.asarray(real)[:, None])
     lm_safe = jnp.clip(lm_idx0, 0, L - 1)
     obs_ok = (feat_ok & s.lm_valid[lm_safe]).reshape(-1)
     cam_idx = jnp.broadcast_to(jnp.arange(W)[:, None], (W, Fc)).reshape(-1)
@@ -674,10 +756,12 @@ def run_vi_local_ba(tracker, window_rows: np.ndarray, n_fixed: int,
     )
     observed = jnp.zeros((L,), bool).at[lm_edge].max(obs_ok)
 
-    cam_fixed = jnp.arange(W) < n_fixed
+    cam_fixed = (jnp.arange(W) < n_fixed) | ~jnp.asarray(real)
     src = jnp.arange(W - 1, dtype=jnp.int32)
     chain_valid = jnp.asarray(ok_chain)
 
+    if bias_prior is not None:
+        bias_prior = jnp.asarray(bias_prior, jnp.float32)
     Ro, to, vo, bgo, bao, Xo, stats = vi_ba.local_inertial_ba(
         cfg.kind, cfg.K, imu.Rbc, imu.tbc,
         Rwb, twb, s.kf_vel[rows_j], s.kf_bg[rows_j], s.kf_ba[rows_j],
@@ -691,18 +775,19 @@ def run_vi_local_ba(tracker, window_rows: np.ndarray, n_fixed: int,
     R_cw, t_cw = jax.vmap(
         lambda R, t: body_to_cam(R, t, imu.Rbc, imu.tbc)
     )(Ro, to)
+    rows_w = jnp.where(jnp.asarray(real), rows_j, s.kmax)  # drop pad writes
     tracker.map = dataclasses.replace(
         s,
-        kf_R=s.kf_R.at[rows_j].set(R_cw),
-        kf_t=s.kf_t.at[rows_j].set(t_cw),
-        kf_vel=s.kf_vel.at[rows_j].set(vo),
-        kf_bg=s.kf_bg.at[rows_j].set(bgo),
-        kf_ba=s.kf_ba.at[rows_j].set(bao),
+        kf_R=s.kf_R.at[rows_w].set(R_cw, mode="drop"),
+        kf_t=s.kf_t.at[rows_w].set(t_cw, mode="drop"),
+        kf_vel=s.kf_vel.at[rows_w].set(vo, mode="drop"),
+        kf_bg=s.kf_bg.at[rows_w].set(bgo, mode="drop"),
+        kf_ba=s.kf_ba.at[rows_w].set(bao, mode="drop"),
         lm_pos=Xo,
     )
-    tracker.imu.bg = bgo[-1]
-    tracker.imu.ba = bao[-1]
-    tracker.imu.vel = vo[-1]
+    tracker.imu.bg = bgo[W0 - 1]
+    tracker.imu.ba = bao[W0 - 1]
+    tracker.imu.vel = vo[W0 - 1]
     return True
 
 

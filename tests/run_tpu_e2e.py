@@ -92,7 +92,8 @@ def run_vi():
     from test_slam_vi import vi_render_trajectory
 
     scene = PlaneScene(np.array(K), img_wh=IMG_WH, two_planes=True, seed=3)
-    n = 40
+    n = 160   # 16 s: VIBA1 (>5 s) + the ~10 s scale refinement both run —
+    # the reference's "~1% after 10-15 s" regime (Changelog.md:44)
     R_gt, t_gt, imu_packets = vi_render_trajectory(n)
     t = trk.Tracker(trk.TrackerConfig(
         K=K, img_wh=IMG_WH, sensor="mono-imu",
@@ -111,9 +112,11 @@ def run_vi():
                                      with_scale=True)
     rmse, _, _ = evaluate.ate_rmse(ts[ok], est, ts[ok], gt,
                                    with_scale=False)
+    # metric-scale gate 0.05 on the CHIP (VERDICT r4 #1c: the r4 runner
+    # left this at 0.25 while the CPU test claimed 0.05)
     return dict(scenario="mono-imu", ate_metric=round(float(rmse), 4),
-                scale=round(float(s), 3),
-                ok=bool(abs(s - 1.0) < 0.25 and rmse < 0.5))
+                scale=round(float(s), 3), gate=0.05,
+                ok=bool(abs(s - 1.0) < 0.05 and rmse < 0.5))
 
 
 def main():

@@ -120,6 +120,37 @@ def test_trajectory_formats(tmp_path):
     assert len(vals) == 12
 
 
+def test_trajectory_body_frame_export(tmp_path):
+    """Inertial export is in the IMU BODY frame: Twb = Twc o Tcb
+    (System::SaveTrajectoryEuRoC, System.cc:662-882). A camera-frame
+    export would be off by exactly the extrinsics."""
+    n = 4
+    ts = np.arange(n) * 0.1
+    R = np.stack([np.array(lie.so3_exp(jnp.asarray([0.05 * i, 0.0, 0.2 * i])))
+                  for i in range(n)])
+    t = np.stack([np.array([0.1 * i, 0.02 * i, 0.0]) for i in range(n)])
+    Tbc = np.eye(4, dtype=np.float32)
+    Tbc[:3, :3] = np.array(lie.so3_exp(jnp.asarray([0.0, 0.3, 0.0])))
+    Tbc[:3, 3] = [0.1, -0.02, 0.05]
+
+    p = str(tmp_path / "b.txt")
+    trajectory.save_euroc(p, ts, R, t, Tbc=Tbc)
+    rows = [line.split() for line in open(p)]
+    pos = np.array([[float(x) for x in r[1:4]] for r in rows])
+    # expected body position: center of T_bw = Tbc o Tcw
+    for i in range(n):
+        R_bw = Tbc[:3, :3] @ R[i]
+        t_bw = Tbc[:3, :3] @ t[i] + Tbc[:3, 3]
+        c_b = -R_bw.T @ t_bw
+        np.testing.assert_allclose(pos[i], c_b, atol=1e-5)
+    # and it differs from the camera-frame export by the extrinsics
+    p2 = str(tmp_path / "c.txt")
+    trajectory.save_euroc(p2, ts, R, t)
+    rows2 = [line.split() for line in open(p2)]
+    pos2 = np.array([[float(x) for x in r[1:4]] for r in rows2])
+    assert np.abs(pos - pos2).max() > 0.01
+
+
 def test_system_facade_runs(tmp_path):
     from synthetic_scene import PlaneScene, orbit_trajectory
     from orb_slam3_tpu.frontend import orb as orb_mod

@@ -29,10 +29,21 @@ import numpy as np
 import jax
 
 # persistent XLA compile cache: repeat bench runs (and the driver's rerun)
-# skip the multi-minute cold compiles of the stereo/VI stages
+# skip the multi-minute cold compiles of the stereo/VI stages. Keyed by a
+# machine fingerprint (same scheme as tests/conftest.py): artifacts cached
+# by a previous round's machine can SIGILL on a different host CPU.
+import hashlib
+import platform
+
+try:
+    with open("/proc/cpuinfo") as _fh:
+        _cpu = next((ln for ln in _fh if ln.startswith("flags")), "")
+except OSError:
+    _cpu = platform.processor()
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(__file__), "tests", ".jax_cache"),
+    os.path.join(os.path.dirname(__file__), "tests", ".jax_cache",
+                 hashlib.sha256(_cpu.encode()).hexdigest()[:12]),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
@@ -185,23 +196,33 @@ def bench_e2e_vi(n_frames=60):
     def cfg():
         return _cfg(K, sensor="mono-imu", kf_max_frames=3)
 
+    from orb_slam3_tpu.utils.timing import GLOBAL_TIMER
+
     def run():
         t = trk.Tracker(cfg())
+        GLOBAL_TIMER.samples.clear()
         t0 = time.perf_counter()
         for i in range(n_frames):
             t.process(frames[i], (i + 1) * 0.1, imu=imu_packets[i])
         t.settle()
+        t.sync_mapping()  # drain queued inertial KFs (same policy as mono:
+        # all queued mapping work is inside the timed region) — init state
+        # is only meaningful once the mapper has consumed the queue
         dt = time.perf_counter() - t0
         ok = sum(rec.ok for rec in t.trajectory)
         init = bool(t.imu is not None and t.imu.initialized)
-        out = n_frames / dt, int(t.map.n_kf), ok, init
+        stages = {
+            k: {kk: round(v[kk + "_ms"], 2) for kk in ("mean", "p50", "p95")}
+            for k, v in sorted(GLOBAL_TIMER.summary().items())
+        }
+        out = n_frames / dt, int(t.map.n_kf), ok, init, stages
         t.shutdown()  # stop the mapper thread (clean interpreter exit)
         return out
 
     run()  # warmup (compiles)
-    fps, n_kf, ok, init = run()
+    fps, n_kf, ok, init, stages = run()
     return {"fps": fps, "keyframes": n_kf, "tracked": ok,
-            "imu_initialized": init}
+            "imu_initialized": init, "stages": stages}
 
 
 def bench_hot_path():
@@ -396,6 +417,8 @@ def main():
                 "mfu": mfu,
                 "vocab_1m": voc1m,
                 "stage_ms": e2e["stages"],
+                "stereo_stage_ms": st["stages"],
+                "vi_stage_ms": vi["stages"],
             }
         )
     )

@@ -216,6 +216,19 @@ class System:
         self.tracker.sync_mapping()
         checkpoint.save_atlas(path, self.tracker.map, self.vocabulary)
 
+    def save_map_3d(self, path: str):
+        """Interactive 3D map viewer (MapDrawer/Viewer role,
+        /root/reference/src/MapDrawer.cc:135-447): landmarks, keyframe
+        frusta, spanning tree, and trajectory in one self-contained HTML
+        file with orbit/pan/zoom controls."""
+        from . import evaluate, viz
+
+        self.tracker.sync_mapping()
+        ts, R, t, ok = self.tracker.poses()
+        traj = (evaluate.camera_centers(R[ok], t[ok])
+                if ok.any() else None)
+        viz.save_map_html(path, self.tracker.map, traj)
+
     def change_dataset(self):
         """System::ChangeDataset (multi-sequence runs, e.g.
         Examples/Stereo-Inertial/stereo_inertial_euroc.cc:42-117): force a

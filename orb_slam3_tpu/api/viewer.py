@@ -43,6 +43,7 @@ _PAGE = """<!doctype html>
 <h3>orb_slam3_tpu — live session</h3>
 <div id="stats">{stats}</div>
 <img src="/map.png" width="540"> <img src="/frame.png" width="540">
+<p><a href="/map3d" target="_blank">interactive 3D map</a></p>
 <p><a href="/cmd?localization=1">localization mode ON</a> |
    <a href="/cmd?localization=0">OFF</a> |
    <a href="/cmd?reset=1">reset session</a></p>
@@ -148,6 +149,12 @@ class LiveViewer:
                     elif u.path == "/map.png":
                         self._send(200, "image/png",
                                    viewer._render_map_png())
+                    elif u.path == "/map3d":
+                        from . import viz
+
+                        t = viewer.system.tracker
+                        html = viz.render_map_html(t.map)
+                        self._send(200, "text/html", html.encode())
                     elif u.path == "/frame.png":
                         self._send(200, "image/png",
                                    viewer._render_frame_png())

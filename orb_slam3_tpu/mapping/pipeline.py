@@ -79,7 +79,8 @@ def apply_frame_stats(s: atlas_state.MapState, pkg: KFPackage):
 
 
 def insert_keyframe_pkg(s: atlas_state.MapState, pkg: KFPackage, cfg,
-                        base_sensor: str, parent_row: int):
+                        base_sensor: str, parent_row: int,
+                        kf_row_host: int | None = None):
     """Add the keyframe row + depth-derived close landmarks
     (Tracking::CreateNewKeyFrame, /root/reference/src/Tracking.cc:3216-3331).
 
@@ -107,7 +108,11 @@ def insert_keyframe_pkg(s: atlas_state.MapState, pkg: KFPackage, cfg,
         parent=jnp.asarray(parent_row, jnp.int32),
         prev=jnp.asarray(parent_row, jnp.int32),
     )
-    kf = int(kf)
+    # the mapper mirrors the insertion row host-side (kf == n_kf at entry);
+    # taking it from the caller avoids a device->host sync that blocks the
+    # mapper thread behind the whole queued device stream (~25 ms through
+    # the TPU tunnel)
+    kf = int(kf) if kf_row_host is None else int(kf_row_host)
 
     # stereo/RGBD: create landmarks directly from depth for unbound close
     # points (Tracking.cc:3247-3331). "Close" uses the reference's METRIC
@@ -156,10 +161,11 @@ def triangulate_mono(s: atlas_state.MapState, kf: int, cfg, scale_factors,
     return s
 
 
-def fuse_recent(s: atlas_state.MapState, cfg, scale_factors, n_recent: int = 4):
+def fuse_recent(s: atlas_state.MapState, cfg, scale_factors, n_recent: int = 4,
+                n_kf_host: int | None = None):
     """Densify observations into the most recent keyframes
     (SearchInNeighbors role, LocalMapping.cc:714)."""
-    n_kf = int(s.n_kf)
+    n_kf = int(s.n_kf) if n_kf_host is None else int(n_kf_host)
     for krow in range(max(0, n_kf - n_recent), n_kf):
         s = fuse.fuse_into_keyframe(
             cfg.kind, cfg.K, s, jnp.asarray(krow, jnp.int32), scale_factors
@@ -173,9 +179,11 @@ def ba_window(s: atlas_state.MapState, cfg):
     (Optimizer::LocalBundleAdjustment's lFixedCameras, Optimizer.cc:1118).
     Returns (rows [w+4] np.int32, n_fixed)."""
     w = cfg.local_window
-    valid_rows = np.nonzero(
-        np.array(s.kf_valid) & (np.array(s.kf_map_id) == int(s.active_map))
-    )[0]
+    # ONE device->host fetch (the mask is combined on device) instead of
+    # three sequential ones — each fetch blocks behind the queued device
+    # stream, so on the mapper thread this is 1 tunnel RTT, not 3
+    mask = np.asarray(s.kf_valid & (s.kf_map_id == s.active_map))
+    valid_rows = np.nonzero(mask)[0]
     n_rows = min(len(valid_rows), w + 4)
     rows = valid_rows[-n_rows:]
     n_fixed = max(2, n_rows - w) if n_rows > 2 else 1

@@ -130,6 +130,9 @@ class AsyncMapper:
         # package appends exactly one row, so the append position is known
         # without the per-package device fetch (one RTT each, mapper-side)
         self._host_n_kf = int(initial_state.n_kf)
+        # host mirror of inserted-keyframe timestamps (row -> ts); rows are
+        # stable between set_state calls (compaction reseeds via set_state)
+        self._kf_ts_host = {}
         self._set_imu(imu, initial_state)
         self._reset_gauge()
         self._stop = False
@@ -265,6 +268,7 @@ class AsyncMapper:
             self._state = s
             self._version += 1
             self._host_n_kf = int(s.n_kf)
+            self._kf_ts_host = {}
             self._set_imu(imu, s)
             self._reset_gauge()
             if last_kf_row is not None:
@@ -387,6 +391,13 @@ class AsyncMapper:
                 verbose.VERBOSITY_NORMAL,
             )
             return
+        # re-express a stale package in the current world BEFORE inserting:
+        # a package that straddles a loop/merge/GBA correction (or an
+        # inertial gauge event) carries a pose chained in the OLD world —
+        # inserting it untransformed plants a keyframe far off the
+        # corrected map (measured: async post-loop KF ATE 0.57-2.8 vs the
+        # 0.20 gate, schedule-dependent)
+        pkg = self._regauge_pkg(pkg)
         if self._vi_ctx is not None and pkg.imu_interval is not None:
             return self._process_inertial(pkg)
 
@@ -407,13 +418,15 @@ class AsyncMapper:
         busy = self._queue_nonempty()
         if not busy or self._skipped_ba >= self.max_ba_skips:
             with T.stage("map.local_ba"):
+                # monolithic dispatch: the 8-iter window BA is ~18 ms device
+                # time (r5 kernel), so chunked mbAbortBA preemption would
+                # cost more in tunnel round-trips (3 extra blocks behind
+                # the tracker's queued frames ≈ 240 ms p50 measured) than
+                # it could ever save; the queue-nonempty skip rule above is
+                # the preemption mechanism at this kernel scale
                 s = pipeline.run_visual_ba(
                     s, cfg, self.scale_factors, ba_rows, n_fixed,
                     self.base_sensor,
-                    abort_check=(
-                        self._queue_nonempty
-                        if self._skipped_ba < self.max_ba_skips else None
-                    ),
                 )
             with T.stage("map.culling"):
                 s = pipeline.map_stage_post(
@@ -516,53 +529,53 @@ class AsyncMapper:
         ctx.last_kf_row = self._last_kf_row
         events0 = len(ctx.debug_events)
 
-        # re-gauge a stale package: its pose is expressed in the gauge of
-        # the commit the tracker had adopted at enqueue time; any inertial
-        # gauge transforms since then must be applied (pose transform per
-        # event: R' = R @ Ryw^T, t' = s * t — Map::ApplyScaledRotation's
-        # camera-side action, Map.cc:252)
-        Ra, sa = self._gauge_hist.get(pkg.gauge_version, self._gauge_tot)
-        Rc, sc = self._gauge_tot
-        if sa != sc or not np.array_equal(Ra, Rc):
-            dR = jnp.asarray(Rc @ Ra.T)
-            pkg = dataclasses.replace(
-                pkg,
-                R=pkg.R @ dR.T,
-                t=jnp.asarray(sc / sa, jnp.float32) * pkg.t,
-            )
-
+        # (the package was already re-expressed in the current world by
+        # _regauge_pkg in _process — gauge transforms per
+        # Map::ApplyScaledRotation's camera-side action, Map.cc:252, plus
+        # anchor re-chaining across loop/merge/GBA corrections)
         with T.stage("map.pre"):
-            s, kf = pipeline.insert_keyframe_pkg(
-                s, pkg, cfg, self.base_sensor, self._last_kf_row
+            # fused pre stage (insert + depth landmarks + triangulation +
+            # covisible fuse + BA-window selection in ONE program) — the
+            # eager insert + host-looped triangulate/fuse it replaces ran
+            # 240 ms p50 per inertial keyframe on the chip
+            s, kf, ba_rows, n_fixed = pipeline.run_pre_stage(
+                s, pkg, cfg, self.base_sensor, self._last_kf_row,
+                self.scale_factors, kf_row_host=self._host_n_kf,
             )
             self._host_n_kf += 1
             ctx.imu.store_interval(kf, pkg.imu_interval,
                                    float(pkg.timestamp))
 
-            # bad-IMU detection (LocalMapping.cc:130-146)
+            # bad-IMU detection (LocalMapping.cc:130-146). Runs after the
+            # fused triangulate/fuse — harmless, since a bad flag resets
+            # the whole active map on adoption
             bad = False
             if ctx.imu.initialized and ctx.imu.viba_stage < 2:
-                prev = int(s.kf_prev[kf])
+                # insert_keyframe_pkg chains prev=parent=_last_kf_row, so
+                # prev is host-known; pprev needs one fetch (culling may
+                # have rewired the device-side chain)
+                prev = self._last_kf_row
                 pprev = int(s.kf_prev[prev]) if prev >= 0 else -1
                 if prev >= 0 and pprev >= 0:
-                    cs = [-(np.array(s.kf_R[r]).T @ np.array(s.kf_t[r]))
-                          for r in (kf, prev, pprev)]
-                    dist = (np.linalg.norm(cs[0] - cs[1])
-                            + np.linalg.norm(cs[1] - cs[2]))
+                    # one fused device reduction + ONE scalar fetch (was 6
+                    # array fetches, each a tunnel RTT on the mapper thread)
+                    rs = jnp.asarray([kf, prev, pprev], jnp.int32)
+                    Rs, tls = s.kf_R[rs], s.kf_t[rs]
+                    cs_d = -jnp.einsum("kij,ki->kj", Rs, tls)
+                    dist = float(jnp.linalg.norm(cs_d[0] - cs_d[1])
+                                 + jnp.linalg.norm(cs_d[1] - cs_d[2]))
+                    prev_ts = self._kf_ts_host.get(prev)
+                    if prev_ts is None:
+                        prev_ts = float(s.kf_timestamp[prev])
                     if dist > 0.05:
-                        ctx.imu.tinit += float(pkg.timestamp) - float(
-                            s.kf_timestamp[prev])
+                        ctx.imu.tinit += float(pkg.timestamp) - prev_ts
                     if ctx.imu.tinit < 10.0 and dist < 0.02:
                         verbose.print_mess(
                             "Not enough motion for initializing. "
                             "Reseting...", verbose.VERBOSITY_NORMAL)
                         ctx.imu.bad = True
                         bad = True
-            if not bad:
-                s = pipeline.triangulate_mono(
-                    s, kf, cfg, self.scale_factors, self._last_kf_row
-                )
-                s = pipeline.fuse_recent(s, cfg, self.scale_factors)
+            self._kf_ts_host[kf] = float(pkg.timestamp)
 
         if bad:
             # ship the flag; the tracker resets the active map on adopt
@@ -578,7 +591,19 @@ class AsyncMapper:
             return
 
         w = cfg.local_window
-        rows, n_fixed = pipeline.ba_window(s, cfg)
+        # BA window rows come from the fused pre stage as device arrays;
+        # the VI paths (inertial BA, inertial KF culling) need host ints —
+        # fetch lazily, once, only when a VI path actually runs
+        host_rows = None
+        host_nf = None
+
+        def _host_window():
+            nonlocal host_rows, host_nf
+            if host_rows is None:
+                host_rows = np.asarray(ba_rows)
+                host_nf = int(n_fixed)
+            return host_rows, host_nf
+
         ctx.map = s
         # local BA only when the queue is empty (LocalMapping.cc:108-156),
         # bounded by max_ba_skips — inertial keyframes are never dropped
@@ -590,31 +615,48 @@ class AsyncMapper:
             self.n_ba_skips += 1
         else:
             with T.stage("map.local_ba"):
-                ran_vi = (ctx.imu.initialized
-                          and vi_tracker.run_vi_local_ba(ctx, rows, n_fixed))
+                ran_vi = False
+                if ctx.imu.initialized:
+                    hr, hn = _host_window()
+                    ran_vi = vi_tracker.run_vi_local_ba(ctx, hr, hn)
                 if ran_vi:
                     s = ctx.map
                 else:
                     s = pipeline.run_visual_ba(
-                        s, cfg, self.scale_factors, rows, n_fixed,
+                        s, cfg, self.scale_factors, ba_rows, n_fixed,
                         self.base_sensor,
                     )
             self._skipped_ba = 0
             self.n_ba_runs += 1
         with T.stage("map.culling"):
-            s = local_mapper.cull_landmarks(s)
-            s = atlas_state_mod.update_landmark_stats(s)
-            ctx.map = s
-            if ctx.imu.initialized and self._host_n_kf > w + 4:
-                vi_tracker.cull_keyframes_inertial(ctx, rows[: w + 4])
-                s = ctx.map
+            if ctx.imu.initialized:
+                s = local_mapper.cull_landmarks(s)
+                s = atlas_state_mod.update_landmark_stats(s)
+                ctx.map = s
+                if self._host_n_kf > w + 4:
+                    hr, _ = _host_window()
+                    vi_tracker.cull_keyframes_inertial(ctx, hr[: w + 4])
+                    s = ctx.map
+            else:
+                # pre-init: fused landmark culling + stats (KF culling is
+                # disabled pre-init; min_kf gate set above the arena size)
+                s = pipeline.map_stage_post(
+                    s, ba_rows, jnp.asarray(cfg.kmax + 1, jnp.int32)
+                )
 
-        # staged inertial initialization / refinement
+        # staged inertial initialization / refinement (host-side gate
+        # values: this KF is the newest, so ts_now == pkg.timestamp)
         ctx.map = s
         if not ctx.imu.initialized:
-            vi_tracker.try_initialize_imu(ctx)
+            vi_tracker.try_initialize_imu(
+                ctx, n_kf_host=self._host_n_kf,
+                ts_now_host=float(pkg.timestamp),
+            )
         else:
-            vi_tracker.try_refine_imu(ctx)
+            vi_tracker.try_refine_imu(
+                ctx, n_kf_host=self._host_n_kf,
+                ts_now_host=float(pkg.timestamp),
+            )
         s = ctx.map
 
         # net gauge scale applied by any init/VIBA/scale-refine events;

@@ -358,7 +358,8 @@ def match_local_map(kind: int, K, R, t, lm_pos, lm_desc, lm_valid,
 NO_LM_I32 = jnp.int32(-1)
 
 
-@partial(jax.jit, static_argnames=("kind", "use_stereo", "use_two_cam"))
+@partial(jax.jit, static_argnames=("kind", "use_stereo", "use_two_cam",
+                                   "chain_pred", "with_census"))
 def track_frame_visual(kind: int, K, bf,
                        lm_pos, lm_desc, in_map, lm_max_dist, lm_min_dist,
                        lm_normal,
@@ -371,7 +372,11 @@ def track_frame_visual(kind: int, K, bf,
                        use_stereo: bool,
                        use_two_cam: bool = False,
                        rfeat_xy=None, rfeat_desc=None, rfeat_octave=None,
-                       rfeat_valid=None, K_r=None, R_rl=None, t_rl=None):
+                       rfeat_valid=None, K_r=None, R_rl=None, t_rl=None,
+                       chain_pred: bool = False,
+                       with_census: bool = False,
+                       feat_depth=None, min_depth=None, th_depth_m=None,
+                       R_kf=None, t_kf=None):
     """One visual tracking step as a single compiled program: stage-1
     coarse match+optimize at the predicted pose (with the widened-window
     retry from the last pose under a `lax.cond`), stage-2 fine match, the
@@ -392,6 +397,15 @@ def track_frame_visual(kind: int, K, bf,
     L = lm_pos.shape[0]
     n_feat = feat_xy.shape[0]
     n_levels = scale_factors.shape[0]
+
+    if chain_pred:
+        # motion-model prediction chained from the previous in-flight
+        # step's device outputs (software pipeline). Folding it into this
+        # program removes 4-6 eager micro-dispatches per frame — on the
+        # tunnel each eager op costs real device-queue quanta
+        Rm, tm = lie_mod.se3_mul(R_pred, t_pred, R_last, t_last)
+        R_pred = jnp.where(have_velocity, Rm, R_last)
+        t_pred = jnp.where(have_velocity, tm, t_last)
 
     cont = in_map & tracked_lms
     stage1_mask = jnp.where(
@@ -530,17 +544,40 @@ def track_frame_visual(kind: int, K, bf,
         jnp.where(inlier, jnp.arange(L, dtype=jnp.int32), NO_LM_I32),
         mode="drop",
     )
-    return dict(
+
+    # close-point census for NeedNewKeyFrame c1c (Tracking.cc:3106-3128),
+    # folded into the frame program so the host reads ONE stacked scalar
+    # vector per frame (each extra fetch pays a ~25 ms completion-
+    # notification quantum on the tunnel)
+    if with_census:
+        close = ((feat_depth > min_depth) & (feat_depth < th_depth_m)
+                 & feat_valid)
+        trk_f = feat_lm >= 0
+        census_trk = jnp.sum(close & trk_f).astype(jnp.int32)
+        census_untrk = jnp.sum(close & ~trk_f).astype(jnp.int32)
+    else:
+        census_trk = jnp.int32(-1)
+        census_untrk = jnp.int32(-1)
+
+    out = dict(
         R=R2f, t=t2f, n=n2f, tracked=tracked_any, feat_lm=feat_lm,
         vis32=visible.astype(jnp.int32), fnd32=tracked_any.astype(jnp.int32),
         Rv=Rv, tv=tv, vel_poisoned=vel_poisoned,
         # device-side motion-model validity for the NEXT frame's chained
         # dispatch (software pipeline: the host never reads this)
         has_vel=(n2f >= min_inliers) & ~vel_poisoned,
-        # stacked scalars: ONE host fetch per frame reads both
+        # stacked scalars: ONE host fetch per frame reads all four
         scal=jnp.stack([n2f.astype(jnp.int32),
-                        vel_poisoned.astype(jnp.int32)]),
+                        vel_poisoned.astype(jnp.int32),
+                        census_trk, census_untrk]),
     )
+    if R_kf is not None:
+        # trajectory record relative to the reference keyframe
+        # (Tracker._record_frame), folded in to kill 2 eager ops/frame
+        Rk_inv, tk_inv = lie_mod.se3_inv(R_kf, t_kf)
+        out["R_rel"], out["t_rel"] = lie_mod.se3_mul(R2f, t2f, Rk_inv,
+                                                     tk_inv)
+    return out
 
 
 @jax.jit

@@ -411,7 +411,9 @@ def _apply_inertial_solution(tracker, out, chain, update_bias=True,
 
 
 def try_initialize_imu(tracker, min_kfs: int | None = None,
-                       min_time: float | None = None):
+                       min_time: float | None = None,
+                       n_kf_host: int | None = None,
+                       ts_now_host: float | None = None):
     """Run inertial-only MAP + gauge transform when enough baseline exists.
     Mutates tracker.map and tracker.imu. Returns True on success.
 
@@ -428,10 +430,14 @@ def try_initialize_imu(tracker, min_kfs: int | None = None,
         min_kfs = 10
     if min_time is None:
         min_time = 2.0 if mono else 1.0
-    n_kf = int(s.n_kf)
+    # the async mapper passes its host-side mirrors so the every-keyframe
+    # gate checks cost zero device syncs (each int()/float() fetch blocks
+    # the mapper thread behind the whole queued device stream)
+    n_kf = int(s.n_kf) if n_kf_host is None else int(n_kf_host)
     if imu.initialized or n_kf < min_kfs or imu.first_kf_ts is None:
         return False
-    ts_now = float(s.kf_timestamp[n_kf - 1])
+    ts_now = (float(s.kf_timestamp[n_kf - 1]) if ts_now_host is None
+              else float(ts_now_host))
     if ts_now - imu.first_kf_ts < min_time:
         return False
 
@@ -489,7 +495,8 @@ def try_initialize_imu(tracker, min_kfs: int | None = None,
     return True
 
 
-def try_refine_imu(tracker):
+def try_refine_imu(tracker, n_kf_host: int | None = None,
+                   ts_now_host: float | None = None):
     """Staged post-init refinement (LocalMapping::Run, LocalMapping.cc:
     200-242): VIBA1 re-runs the inertial MAP with relaxed priors at
     tinit > 5 s (priorG=1, priorA=1e5), VIBA2 with no bias priors at
@@ -500,8 +507,9 @@ def try_refine_imu(tracker):
     s = tracker.map
     if not imu.initialized or imu.init_ts is None:
         return False
-    n_kf = int(s.n_kf)
-    ts_now = float(s.kf_timestamp[n_kf - 1])
+    n_kf = int(s.n_kf) if n_kf_host is None else int(n_kf_host)
+    ts_now = (float(s.kf_timestamp[n_kf - 1]) if ts_now_host is None
+              else float(ts_now_host))
     tinit = ts_now - imu.init_ts
 
     stage_prior = None

@@ -9,8 +9,6 @@ import. XLA_FLAGS must still be set before the CPU backend initializes.
 
 import os
 
-# silence XLA:CPU AOT cache-loader machine-feature warnings (cosmetic; the
-# cached artifacts load and run fine)
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 flags = os.environ.get("XLA_FLAGS", "")
@@ -24,8 +22,21 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # persistent compilation cache: the suite is dominated by XLA compiles of
-# the large jitted stages; cache them across runs
-_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+# the large jitted stages; cache them across runs. Keyed by a machine
+# fingerprint — the repo (and its gitignored cache) survives across rounds
+# on DIFFERENT host machines, and XLA:CPU AOT artifacts built for another
+# CPU's feature set can SIGILL here (observed: hard crash in
+# test_lm_dense under a cache populated on an avx512/amx host).
+import hashlib  # noqa: E402
+import platform  # noqa: E402
+
+try:
+    with open("/proc/cpuinfo") as fh:
+        _cpu = next((ln for ln in fh if ln.startswith("flags")), "")
+except OSError:
+    _cpu = platform.processor()
+_fp = hashlib.sha256(_cpu.encode()).hexdigest()[:12]
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache", _fp)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

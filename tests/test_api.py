@@ -265,4 +265,43 @@ def test_live_viewer_serves_map_and_stats():
     assert sys_.localization_only
     page = urllib.request.urlopen(base, timeout=10).read()
     assert b"live session" in page
+    # interactive 3D viewer endpoint (MapDrawer role, MapDrawer.cc:135-447)
+    html3d = urllib.request.urlopen(base + "/map3d", timeout=30).read()
+    assert b"kf_centers" in html3d and b"orbit" in html3d
+    sys_.shutdown()
+
+
+def test_save_map_3d(tmp_path):
+    """Offline interactive 3D map export: self-contained HTML whose
+    embedded scene has the live map's landmarks/keyframes/trajectory."""
+    import json as json_mod
+    import re
+
+    from synthetic_scene import PlaneScene, orbit_trajectory
+    from orb_slam3_tpu.frontend import orb as orb_mod
+    from orb_slam3_tpu.tracking import tracker as trk
+
+    K = cam.make_pinhole(350.0, 350.0, 256.0, 192.0)
+    cfg = trk.TrackerConfig(
+        K=K, img_wh=(512, 384), sensor="rgbd", bf=35.0, th_depth=20.0,
+        orb=orb_mod.OrbConfig(n_features=400, n_levels=3),
+        kmax=16, lmax=2048, local_window=4, deterministic_mapping=True,
+    )
+    sys_ = system.System(config=cfg)
+    scene = PlaneScene(np.array(K), img_wh=(512, 384), seed=11)
+    R_gt, t_gt = orbit_trajectory(6)
+    for i in range(6):
+        img, depth = scene.render_with_depth(R_gt[i], t_gt[i])
+        sys_.track_rgbd(img, depth, i * 0.05)
+    path = str(tmp_path / "map.html")
+    sys_.save_map_3d(path)
+    html = open(path).read()
+    m = re.search(r'<script id="scene" type="application/json">(.*?)</script>',
+                  html, re.S)
+    assert m, "embedded scene JSON missing"
+    scene_js = json_mod.loads(m.group(1))
+    assert len(scene_js["points"]) > 50
+    assert len(scene_js["kf_centers"]) >= 1
+    assert len(scene_js["kf_rot"]) == len(scene_js["kf_centers"])
+    assert len(scene_js["trajectory"]) >= 5
     sys_.shutdown()

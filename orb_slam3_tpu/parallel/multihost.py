@@ -154,6 +154,16 @@ class HostedAtlas:
         lv = np.array(src.lm_valid) & (np.array(src.lm_map_id) == map_id)
         kf_rows = np.flatnonzero(kv)
         lm_rows = np.flatnonzero(lv)
+        # receiver capacity: grow the arena rather than refuse (r4 weak #9 —
+        # cross-host merge only worked when the receiver was pre-sized)
+        need_kf = int(dst.n_kf) + len(kf_rows) + 1
+        need_lm = int(dst.n_lm) + len(lm_rows) + 1
+        if need_kf >= dst.kmax or need_lm >= dst.lmax:
+            dst = atlas_ops.grow(
+                dst,
+                kmax=max(dst.kmax, int(1.5 * need_kf)),
+                lmax=max(dst.lmax, int(1.5 * need_lm)),
+            )
         # landmarks first: build row remap old -> new
         n0 = int(dst.n_lm)
         lm_remap = {}

@@ -552,18 +552,26 @@ class AsyncMapper:
             bad = False
             if ctx.imu.initialized and ctx.imu.viba_stage < 2:
                 # insert_keyframe_pkg chains prev=parent=_last_kf_row, so
-                # prev is host-known; pprev needs one fetch (culling may
-                # have rewired the device-side chain)
+                # prev is host-known; pprev resolved in-jit (culling may
+                # have rewired the device-side chain). ONE scalar fetch
+                # (each fetch pays a ~25 ms completion quantum)
                 prev = self._last_kf_row
-                pprev = int(s.kf_prev[prev]) if prev >= 0 else -1
-                if prev >= 0 and pprev >= 0:
-                    # one fused device reduction + ONE scalar fetch (was 6
-                    # array fetches, each a tunnel RTT on the mapper thread)
-                    rs = jnp.asarray([kf, prev, pprev], jnp.int32)
+                if prev >= 0:
+                    pprev_d = s.kf_prev[jnp.int32(prev)]
+                    rs = jnp.stack([jnp.int32(kf), jnp.int32(prev),
+                                    jnp.clip(pprev_d, 0, cfg.kmax - 1)])
                     Rs, tls = s.kf_R[rs], s.kf_t[rs]
                     cs_d = -jnp.einsum("kij,ki->kj", Rs, tls)
-                    dist = float(jnp.linalg.norm(cs_d[0] - cs_d[1])
-                                 + jnp.linalg.norm(cs_d[1] - cs_d[2]))
+                    packed = jnp.stack([
+                        pprev_d.astype(jnp.float32),
+                        jnp.linalg.norm(cs_d[0] - cs_d[1])
+                        + jnp.linalg.norm(cs_d[1] - cs_d[2]),
+                    ])
+                    pk = np.asarray(packed)
+                    pprev, dist = int(pk[0]), float(pk[1])
+                else:
+                    pprev = -1
+                if prev >= 0 and pprev >= 0:
                     prev_ts = self._kf_ts_host.get(prev)
                     if prev_ts is None:
                         prev_ts = float(s.kf_timestamp[prev])
@@ -647,16 +655,17 @@ class AsyncMapper:
         # staged inertial initialization / refinement (host-side gate
         # values: this KF is the newest, so ts_now == pkg.timestamp)
         ctx.map = s
-        if not ctx.imu.initialized:
-            vi_tracker.try_initialize_imu(
-                ctx, n_kf_host=self._host_n_kf,
-                ts_now_host=float(pkg.timestamp),
-            )
-        else:
-            vi_tracker.try_refine_imu(
-                ctx, n_kf_host=self._host_n_kf,
-                ts_now_host=float(pkg.timestamp),
-            )
+        with T.stage("map.imu_stage"):
+            if not ctx.imu.initialized:
+                vi_tracker.try_initialize_imu(
+                    ctx, n_kf_host=self._host_n_kf,
+                    ts_now_host=float(pkg.timestamp),
+                )
+            else:
+                vi_tracker.try_refine_imu(
+                    ctx, n_kf_host=self._host_n_kf,
+                    ts_now_host=float(pkg.timestamp),
+                )
         s = ctx.map
 
         # net gauge scale applied by any init/VIBA/scale-refine events;

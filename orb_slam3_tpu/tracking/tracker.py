@@ -445,11 +445,25 @@ class Tracker:
         self.sync_mapping()
         assert s_new.kmax >= self.map.kmax and s_new.lmax >= self.map.lmax, \
             "adopt_map cannot shrink the arena under live tracker state"
-        if s_new.kmax > self.map.kmax or s_new.lmax > self.map.lmax:
-            # grow tracker-side per-landmark buffers to the new capacity
-            raise NotImplementedError(
-                "adopt_map with a grown arena: grow the session arena first"
-            )
+        if s_new.lmax > self.map.lmax:
+            # grow the tracker-side per-landmark buffers to the incoming
+            # capacity (row indices are preserved — ship_map appends, so
+            # existing bindings stay valid; r4 weak #9)
+            L_old, L_new = self.map.lmax, s_new.lmax
+
+            def pad_lm(a, fill):
+                arr = np.asarray(a)
+                out = np.full((L_new,) + arr.shape[1:], fill, arr.dtype)
+                out[:L_old] = arr
+                return jnp.asarray(out)
+
+            if getattr(self, "_tracked_lms", None) is not None:
+                self._tracked_lms = pad_lm(self._tracked_lms, False)
+            if self._stat_vis is not None:
+                self._stats_reduce()
+                self._stat_vis = [pad_lm(self._stat_vis[0], 0)]
+                self._stat_found = [pad_lm(self._stat_found[0], 0)]
+        self._local_mask_cache = (None,)
         self.map = s_new
         self._map_version += 1
         self._vi_prior = None
@@ -607,8 +621,18 @@ class Tracker:
         if self._stat_vis is None:
             return None, None
         if len(self._stat_vis) > 1:
-            self._stat_vis = [jnp.sum(jnp.stack(self._stat_vis), axis=0)]
-            self._stat_found = [jnp.sum(jnp.stack(self._stat_found), axis=0)]
+            # pairwise adds, NOT jnp.stack: the list length varies per
+            # keyframe interval, and a stacked [N, L] reduction compiles a
+            # fresh program per distinct N (measured as multi-second
+            # mid-run XLA stalls, mono e2e mean 27 vs p50 78 fps); the
+            # [L]+[L] add is one cached executable regardless of N
+            vis = self._stat_vis[0]
+            fnd = self._stat_found[0]
+            for v, f in zip(self._stat_vis[1:], self._stat_found[1:]):
+                vis = vis + v
+                fnd = fnd + f
+            self._stat_vis = [vis]
+            self._stat_found = [fnd]
         return self._stat_vis[0], self._stat_found[0]
 
     def _request_keyframe(self, feats, timestamp, n_inliers) -> bool:
@@ -671,19 +695,29 @@ class Tracker:
         bow = vocab_mod.sparse_bow(voc, feats.descriptors, feats.valid)
         idx, vals, ok = recognition.reloc_candidates(self.loop_closer.db, bow)
         L = s.lmax
-        for cand, okc in zip(np.array(idx), np.array(ok)):
+        idx_h, ok_h = jax.device_get((idx, ok))
+        inv_sig2 = 1.0 / (
+            self.scale_factors[
+                jnp.clip(feats.octave, 0, cfg.orb.n_levels - 1)
+            ]
+            ** 2
+        )
+        for cand, okc in zip(np.asarray(idx_h), np.asarray(ok_h)):
             if not okc:
                 continue
             cand = int(cand)
             lm_c = s.kf_feat_lm[cand]
             has_c = (lm_c >= 0) & s.kf_feat_valid[cand]
+            # dispatch the WHOLE candidate chain (BoW brute-force match ->
+            # PnP-RANSAC -> MLPnP refine -> motion-only BA polish,
+            # Tracking.cc:3609-3761 + MLPnPsolver.cpp:73) and gate on ONE
+            # stacked fetch — the old per-stage int() gates cost a ~25 ms
+            # completion quantum each, ~3x per failed candidate
             midx, mdist, mok = matching.search_by_brute_force(
                 feats.descriptors, feats.valid,
                 s.kf_feat_desc[cand], has_c,
                 ratio=0.85, max_dist=matching.TH_LOW,
             )
-            if int(mok.sum()) < 15:
-                continue
             lm_rows = jnp.clip(lm_c[midx], 0, L - 1)
             Xw = s.lm_pos[lm_rows]
             valid = mok & s.lm_valid[lm_rows]
@@ -691,26 +725,19 @@ class Tracker:
                 jax.random.PRNGKey(len(self.trajectory)), cfg.kind, cfg.K,
                 feats.xy, Xw, valid,
             )
-            if int(n_inl) < 20:
-                continue
-            inv_sig2 = 1.0 / (
-                self.scale_factors[
-                    jnp.clip(feats.octave, 0, cfg.orb.n_levels - 1)
-                ]
-                ** 2
-            )
-            # maximum-likelihood refinement on bearing residuals with
-            # octave covariances (the reference's MLPnP role,
-            # MLPnPsolver.cpp:73 — materially more robust than the DLT
-            # hypothesis at reloc-grade noise), then pixel-domain
-            # motion-only BA polish (Tracking.cc:3695)
             R, t, inl, _ = recognition.mlpnp_refine(
                 cfg.kind, cfg.K, R, t, feats.xy, Xw, inv_sig2, valid
             )
             R, t, inl2, n2 = track_mod.pose_optimize(
                 cfg.kind, cfg.K, R, t, feats.xy, Xw, inv_sig2, inl
             )
-            if int(n2) < 20:
+            gates = np.asarray(jnp.stack([
+                mok.sum().astype(jnp.int32), n_inl.astype(jnp.int32),
+                n2.astype(jnp.int32)]))
+            # same accept decision as the staged gates: <15 BoW matches
+            # can never reach 20 pose inliers, so the early-outs only
+            # saved device work, not outcomes
+            if gates[0] < 15 or gates[1] < 20 or gates[2] < 20:
                 continue
             self.last = {"R": R, "t": t, "feats": feats,
                          "ts": self.last["ts"] if self.last else 0.0}
@@ -895,9 +922,8 @@ class Tracker:
     # ------------------------------------------------------------------
     def _try_initialize(self, feats, timestamp) -> bool:
         cfg = self.cfg
-        n_kp = int(feats.valid.sum())
         if self.init_ref is None:
-            if n_kp > 100:
+            if int(feats.valid.sum()) > 100:
                 self.init_ref = (feats, timestamp)
             return False
         ref_feats, ref_ts = self.init_ref
@@ -906,22 +932,31 @@ class Tracker:
             feats.xy, feats.descriptors, feats.valid,
             window=100.0, ratio=0.9,
         )
-        n_match = int(ok.sum())
-        if n_match < cfg.init_min_matches:
-            self.init_ref = (feats, timestamp) if n_kp > 100 else None
-            return False
-
+        # dispatch the reconstruction unconditionally and gate on ONE
+        # stacked fetch — the staged int()/bool() gates each paid a ~25 ms
+        # completion quantum, ~130 ms per pre-init frame (a gated
+        # reconstruct on a thin match set just wastes ~10 ms device time)
         res = two_view.reconstruct(
             jax.random.PRNGKey(len(self.trajectory)),
             ref_feats.xy, feats.xy[idx], ok, cfg.K,
             min_triangulated=50,
         )
-        if not bool(res["success"]):
+        gates = np.asarray(jnp.stack([
+            feats.valid.sum().astype(jnp.int32),
+            ok.sum().astype(jnp.int32),
+            res["success"].astype(jnp.int32),
+        ]))
+        n_kp, n_match = int(gates[0]), int(gates[1])
+        if n_match < cfg.init_min_matches:
+            self.init_ref = (feats, timestamp) if n_kp > 100 else None
+            return False
+        if not gates[2]:
             return False
 
-        good = np.array(res["good"])
-        X = np.array(res["X"])
-        R, t = np.array(res["R"]), np.array(res["t"])
+        good, X, R, t = jax.device_get(
+            (res["good"], res["X"], res["R"], res["t"]))
+        good, X = np.asarray(good), np.asarray(X)
+        R, t = np.asarray(R), np.asarray(t)
 
         # median-depth normalization (CreateInitialMapMonocular:2582-2599)
         med = float(np.median(X[good][:, 2]))
@@ -1160,58 +1195,44 @@ class Tracker:
             return self._track_frame_fused(feats, timestamp, s, in_map,
                                            R_pred, t_pred, R_last, t_last)
 
-        # stage 1: match only the landmarks tracked in the LAST frame at the
-        # predicted pose (TrackWithMotionModel matches the last frame's map
-        # points, Tracking.cc:2854-2947 — re-associating the whole map at a
-        # wide radius invites aliasing jumps); fall back to the full map when
-        # continuity is lost
-        stage1_mask = in_map
-        if getattr(self, "_tracked_lms", None) is not None:
-            cont = in_map & self._tracked_lms
-            if int(cont.sum()) > cfg.min_inliers * 2:
-                stage1_mask = cont
-        with GLOBAL_TIMER.stage("track.pose_pred"):
-            R1, t1, inl1, n1 = self._match_and_optimize(
-                s, feats, R_pred, t_pred, stage1_mask, cfg.match_radius_coarse
+        # IMU-initialized tracking: the fused visual cascade (stage-1 +
+        # widened retry + stage-2 + ref-KF fallback, ONE program) warm-
+        # starts the pose, then the pose-inertial optimization
+        # (PoseInertialOptimizationLast{KeyFrame,Frame},
+        # Tracking.cc:2970-2992) re-solves it jointly with the
+        # preintegration/bias/prior terms from the visual matches, chained
+        # ON DEVICE — the host makes ONE stacked fetch per frame (each
+        # extra fetch costs a ~25 ms completion quantum; the old
+        # host-orchestrated 2-stage loop made 3-4 and ran VI at 6 fps)
+        with GLOBAL_TIMER.stage("track.fused_step"):
+            out = self._track_frame_fused(
+                feats, timestamp, s, in_map, R_pred, t_pred,
+                R_last, t_last, defer=False,
             )
-            # fallback: a poisoned motion model (e.g. planar-ambiguity pose
-            # flip) makes the prediction much worse than the last pose —
-            # retry from the last pose with a doubled window (the
-            # reference's widen-x2 retry, Tracking.cc:2892-2897, plus its
-            # TrackReferenceKeyFrame fallback)
-            if self.velocity is not None and int(n1) < max(
-                cfg.min_inliers * 2, 0.5 * self.last_inliers
-            ):
-                R1b, t1b, inl1b, n1b = self._match_and_optimize(
-                    s, feats, R_last, t_last, in_map,
-                    2.0 * cfg.match_radius_coarse
-                )
-                if int(n1b) > int(n1):
-                    R1, t1, n1 = R1b, t1b, n1b
-                    self.velocity = None
-        # stage 2: fine matching at refined pose
-        with GLOBAL_TIMER.stage("track.local_map"):
-            R2, t2, inl2, n2 = self._match_and_optimize(
-                s, feats, R1, t1, in_map, cfg.match_radius_fine,
-                update_stats=True,
-            )
-        n_inliers = int(n2)
-        self.last_inliers = n_inliers
+            vi = self._vi_refine_fused(s, feats, out)
+        with GLOBAL_TIMER.stage("track.vi_fetch"):
+            if vi is None:
+                scal = np.asarray(out["scal"])
+                n_inliers, n_vi = int(scal[0]), -1
+            else:
+                cur, inlier_f, scal_x, H15 = vi
+                scal = np.asarray(scal_x)
+                n_inliers, n_vi = int(scal[0]), int(scal[4])
+        if n_vi >= 0:
+            # inertial solve finite: adopt it
+            n_inliers = n_vi
+            from . import vi_tracker
 
-        if n_inliers < cfg.min_inliers:
-            # TrackReferenceKeyFrame fallback (Tracking.cc:2720-2779): an
-            # appearance-based match against the reference keyframe's bound
-            # map points recovers from a pose prior too bad for projection
-            # search (motion-model breakdown); then re-run the local-map
-            # fine stage from the recovered pose
-            rec = self._track_reference_keyframe(feats)
-            if rec is not None:
-                R2, t2, inl2, n2 = self._match_and_optimize(
-                    s, feats, rec[0], rec[1], in_map, cfg.match_radius_fine,
-                    update_stats=True,
-                )
-                n_inliers = int(n2)
-                self.last_inliers = n_inliers
+            R2, t2 = vi_tracker.body_to_cam(cur["R"], cur["t"],
+                                            self.imu.Rbc, self.imu.tbc)
+            self.imu.vel = cur["v"]
+            self.imu.bg = cur["bg"]
+            self.imu.ba = cur["ba"]
+            self._vi_prior = {"state": cur, "H": H15,
+                              "version": self._map_version}
+        else:
+            R2, t2 = out["R"], out["t"]
+        self.last_inliers = n_inliers
 
         if n_inliers < cfg.min_inliers:
             self.lost_count += 1
@@ -1244,11 +1265,29 @@ class Tracker:
         self.velocity = (lie.normalize_rotation(Rv), tv)
         self.last = {"R": R2, "t": t2, "feats": feats, "ts": timestamp}
         self.frames_since_kf += 1
-        self._feat_lm = self._last_feat_lm  # per-feature landmark rows
+        self._tracked_lms = out["tracked"]
+        self._last_feat_lm = out["feat_lm"]
+        self._feat_lm = out["feat_lm"]  # per-feature landmark rows
+        if self._use_async():
+            if self._stat_vis is None:
+                self._stat_vis, self._stat_found = [], []
+            self._stat_vis.append(out["vis32"])
+            self._stat_found.append(out["fnd32"])
+        else:
+            self.map = dataclasses.replace(
+                self.map,
+                lm_visible=self.map.lm_visible + out["vis32"],
+                lm_found=self.map.lm_found + out["fnd32"],
+            )
 
-        # keyframe decision (NeedNewKeyFrame, Tracking.cc:3064-3187)
+        # keyframe decision (NeedNewKeyFrame, Tracking.cc:3064-3187);
+        # census counts ride the stacked scal (slots 2/3)
         with GLOBAL_TIMER.stage("track.kf_decision"):
+            self._pending_census = ((int(scal[2]), int(scal[3]))
+                                    if len(scal) > 2 and scal[2] >= 0
+                                    else None)
             need = self._need_new_keyframe(feats, timestamp, n_inliers)
+            self._pending_census = None
         if need:
             if self._use_async():
                 self._request_keyframe(feats, timestamp, n_inliers)
@@ -1379,7 +1418,8 @@ class Tracker:
     def _track_frame_fused(self, feats, timestamp, s, in_map,
                            R_pred, t_pred, R_last, t_last,
                            have_velocity=None, tracked=None,
-                           last_inliers=None, chain_pred=False) -> bool:
+                           last_inliers=None, chain_pred=False,
+                           defer=True):
         """Visual tracking through the fused per-frame jit (one dispatch +
         one scalar fetch per frame). have_velocity/tracked/last_inliers
         default to the host state; the pipelined caller passes device
@@ -1468,6 +1508,10 @@ class Tracker:
                 out["scal"].copy_to_host_async()
             except AttributeError:
                 pass
+        if not defer:
+            # synchronous caller (VI path): hand back the device outputs
+            # without entering the software pipeline
+            return out
         # fallback pose if this frame's tracking fails (R_pred carries the
         # previous step's VELOCITY under chain_pred — use its pose instead)
         R_fb, t_fb = (R_last, t_last) if chain_pred else (R_pred, t_pred)
@@ -1886,6 +1930,91 @@ class Tracker:
                           "version": self._map_version}
         R, t = vi_tracker.body_to_cam(cur["R"], cur["t"], imu.Rbc, imu.tbc)
         return R, t, inlier, n
+
+    def _vi_refine_fused(self, s, feats, out):
+        """Pose-inertial refinement chained on the fused visual step's
+        device outputs (PoseInertialOptimizationLast{KeyFrame,Frame},
+        Tracking.cc:2970-2992) over the PER-FEATURE edge set
+        (uv = keypoint, Xw = its bound landmark — the reference's edge
+        granularity). Returns (cur_state, inlier_f, scal5, H15) with
+        scal5 = [n_visual, vel_poisoned, census_trk, census_untrk, n_vi]
+        where n_vi = -1 flags a non-finite solve; or None when no
+        preintegration window exists (caller falls back to the visual
+        outcome). NO host fetch happens here — the caller makes one."""
+        from ..imu import factors
+        from . import vi_pose_opt, vi_tracker
+
+        imu = self.imu
+        cfg = self.cfg
+        prior = self._vi_prior
+        use_prior = (prior is not None
+                     and prior["version"] == self._map_version)
+        if use_prior:
+            pint = imu.preint_frame()
+            dT = (float(np.sum(imu._frame_meas[2]))
+                  if imu._frame_meas is not None else 0.0)
+            prev = prior["state"]
+        else:
+            if self.last_kf_row < 0:
+                return None
+            kf = self.last_kf_row
+            bg_kf, ba_kf = s.kf_bg[kf], s.kf_ba[kf]
+            pint = imu.preint_since_kf(bg=bg_kf, ba=ba_kf)
+            dT = float(sum(np.sum(d) for d in imu._cur[2])) \
+                if imu._cur[2] else 0.0
+            Rb, tb = vi_tracker.cam_to_body(
+                s.kf_R[kf], s.kf_t[kf], imu.Rbc, imu.tbc
+            )
+            prev = {"R": Rb, "t": tb, "v": s.kf_vel[kf],
+                    "bg": bg_kf, "ba": ba_kf}
+        if pint is None or dT <= 0.0:
+            return None
+
+        d, info = factors.preint_edge_data(pint)
+        rw = jnp.zeros((6, 6))
+        rw = rw.at[:3, :3].set(factors.gyro_rw_info(pint))
+        rw = rw.at[3:, 3:].set(factors.acc_rw_info(pint))
+
+        Rb0, tb0 = vi_tracker.cam_to_body(out["R"], out["t"],
+                                          imu.Rbc, imu.tbc)
+        cur0 = {"R": Rb0, "t": tb0, "v": imu.vel,
+                "bg": imu.bg, "ba": imu.ba}
+        feat_lm = out["feat_lm"]
+        okf = (feat_lm >= 0) & feats.valid
+        Xw = s.lm_pos[jnp.clip(feat_lm, 0, s.lmax - 1)]
+        inv_sig2 = 1.0 / (
+            self.scale_factors[
+                jnp.clip(feats.octave, 0, cfg.orb.n_levels - 1)
+            ] ** 2
+        )
+        if self._frame_ur is not None:
+            ur = jnp.where(okf, self._frame_ur, -1.0)
+        else:
+            ur = -jnp.ones((feats.xy.shape[0],))
+
+        kwargs = {}
+        if use_prior:
+            kwargs = dict(
+                prior_data={"R0": prev["R"], "t0": prev["t"],
+                            "v0": prev["v"], "bg0p": prev["bg"],
+                            "ba0p": prev["ba"]},
+                prior_H=prior["H"], free_prev=True,
+            )
+        cur, inlier_f, n, H15 = vi_pose_opt.pose_inertial_optimize(
+            cfg.kind, cfg.K, cfg.bf, imu.Rbc, imu.tbc,
+            prev, cur0, d, info, rw,
+            feats.xy, ur, Xw, inv_sig2, okf, **kwargs,
+        )
+        finite = jnp.all(jnp.isfinite(cur["t"])) & jnp.all(
+            jnp.isfinite(cur["v"]))
+        n_vi = jnp.where(finite, n.astype(jnp.int32), jnp.int32(-1))
+        scal5 = jnp.concatenate([out["scal"].astype(jnp.int32),
+                                 n_vi[None]])
+        try:
+            scal5.copy_to_host_async()
+        except AttributeError:
+            pass
+        return cur, inlier_f, scal5, H15
 
     @staticmethod
     def _assign_features(idx, ok, dist, lmax, n_feat):

@@ -320,9 +320,12 @@ def _inertial_chain(tracker, bg=None, ba=None):
     mPrevKF links so it stays connected across culled keyframes."""
     imu = tracker.imu
     s = tracker.map
-    n_kf = int(s.n_kf)
-    kf_prev = np.array(s.kf_prev)
-    kf_valid = np.array(s.kf_valid)
+    # one batched sync (three serial fetches each cost a tunnel quantum)
+    n_kf_d, kf_prev, kf_valid = jax.device_get(
+        (s.n_kf, s.kf_prev, s.kf_valid))
+    n_kf = int(n_kf_d)
+    kf_prev = np.asarray(kf_prev)
+    kf_valid = np.asarray(kf_valid)
     rows = [r for r in range(1, n_kf)
             if r in imu.kf_buffers and kf_valid[r]
             and kf_prev[r] >= 0 and kf_valid[kf_prev[r]]]
@@ -620,15 +623,21 @@ def cull_keyframes_inertial(tracker, window_rows, min_redundancy: float = 0.9):
         max_gap = 0.5
         min_redundancy = 0.5
     L, K = s.lmax, s.kmax
-    n_kf = int(s.n_kf)
-    lm_all = np.array(s.kf_feat_lm)
-    fv_all = np.array(s.kf_feat_valid)
+    # ONE batched device->host sync (serial np.array fetches each pay a
+    # ~25 ms completion quantum on the tunnel — measured 198 ms p50 for
+    # this function's old 6-fetch prologue)
+    n_kf_d, lm_all, fv_all, kf_valid, kf_prev, ts = jax.device_get(
+        (s.n_kf, s.kf_feat_lm, s.kf_feat_valid, s.kf_valid, s.kf_prev,
+         s.kf_timestamp))
+    n_kf = int(n_kf_d)
+    lm_all = np.asarray(lm_all)
+    fv_all = np.asarray(fv_all)
+    kf_valid = np.asarray(kf_valid).copy()
+    kf_prev = np.asarray(kf_prev).copy()
+    ts = np.asarray(ts)
     obs_cnt = np.zeros(L, np.int64)
     bound_all = (lm_all >= 0) & fv_all
     np.add.at(obs_cnt, np.clip(lm_all, 0, L - 1)[bound_all], 1)
-    kf_valid = np.array(s.kf_valid)
-    kf_prev = np.array(s.kf_prev)
-    ts = np.array(s.kf_timestamp)
 
     # temporal successor: row r with kf_prev[r] == k
     next_of = -np.ones(K, np.int32)

@@ -17,6 +17,29 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# XLA:CPU mmaps every compiled executable (and cache write) separately; a
+# full-suite run exhausts the kernel default vm.max_map_count=65530 and
+# dies with a segfault inside the compile-cache write (observed twice, on
+# two different hosts). Raise it when we can (root); otherwise warn so the
+# failure mode is recognizable.
+try:
+    with open("/proc/sys/vm/max_map_count") as _fh:
+        _mmc = int(_fh.read().strip())
+    if _mmc < 1048576:
+        try:
+            with open("/proc/sys/vm/max_map_count", "w") as _fh:
+                _fh.write("1048576")
+        except OSError:
+            import warnings
+
+            warnings.warn(
+                f"vm.max_map_count={_mmc}: a full-suite XLA:CPU run can "
+                "exhaust it and segfault; run "
+                "`sysctl -w vm.max_map_count=1048576` first."
+            )
+except OSError:
+    pass
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
